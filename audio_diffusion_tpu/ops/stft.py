@@ -1,0 +1,119 @@
+"""Batched STFT / ISTFT in pure JAX, following librosa conventions.
+
+The reference delegates all spectrogram math to librosa on the host CPU
+(reference: audiodiffusion/mel.py:145-167). Here the transform is a batched,
+jit-compiled device computation:
+
+* framing is a single gather with a precomputed static index matrix — no
+  data-dependent shapes, so XLA tiles it freely;
+* the FFT runs as ``jnp.fft.rfft`` over the last axis (XLA-native on TPU);
+* overlap-add in the inverse is a scatter-add (``.at[].add``) which XLA lowers
+  to an efficient dynamic-update loop on TPU.
+
+Conventions matched to librosa 0.10 (the pinned reference dependency):
+``center=True`` zero-padding (``pad_mode="constant"``), periodic Hann window,
+``win_length == n_fft``, one-sided FFT, and squared-window-sum normalization
+in the inverse with librosa's tiny-threshold guard.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(n: int) -> np.ndarray:
+    """Periodic Hann window, identical to scipy ``get_window('hann', n, fftbins=True)``."""
+    return 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n) / n))
+
+
+@lru_cache(maxsize=32)
+def _frame_indices(num_samples: int, n_fft: int, hop_length: int) -> np.ndarray:
+    """Static (n_frames, n_fft) gather indices into the center-padded signal."""
+    padded = num_samples + 2 * (n_fft // 2)
+    n_frames = 1 + (padded - n_fft) // hop_length
+    starts = np.arange(n_frames, dtype=np.int32) * hop_length
+    return starts[:, None] + np.arange(n_fft, dtype=np.int32)[None, :]
+
+
+def num_frames(num_samples: int, n_fft: int, hop_length: int) -> int:
+    """Number of STFT frames for a centered transform of ``num_samples`` samples."""
+    return 1 + (num_samples + 2 * (n_fft // 2) - n_fft) // hop_length
+
+
+def frame(audio: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
+    """Center-pad and frame a batch of signals: (B, T) -> (B, n_frames, n_fft)."""
+    pad = n_fft // 2
+    x = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)])
+    idx = jnp.asarray(_frame_indices(audio.shape[-1], n_fft, hop_length))
+    return jnp.take(x, idx, axis=-1)
+
+
+def stft(
+    audio: jnp.ndarray,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    window: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Batched short-time Fourier transform.
+
+    Args:
+        audio: real signal, shape (..., T).
+    Returns:
+        complex64 spectrogram, shape (..., n_frames, n_fft // 2 + 1).
+        NOTE: frames-major layout (time, freq) — the transpose of librosa's
+        (freq, time) — because the FFT axis must be the minor axis on TPU.
+    """
+    if window is None:
+        window = jnp.asarray(hann_window(n_fft), dtype=audio.dtype)
+    frames = frame(audio, n_fft, hop_length) * window
+    return jnp.fft.rfft(frames, axis=-1)
+
+
+def istft(
+    spec: jnp.ndarray,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    length: int | None = None,
+    window: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Batched inverse STFT with squared-window overlap-add normalization.
+
+    Args:
+        spec: complex spectrogram, shape (..., n_frames, n_fft // 2 + 1)
+            (frames-major, matching :func:`stft`).
+        length: output length; defaults to librosa's ``(n_frames - 1) * hop``.
+    Returns:
+        real signal, shape (..., length).
+    """
+    if window is None:
+        window = jnp.asarray(hann_window(n_fft), dtype=jnp.float32)
+    n_frames = spec.shape[-2]
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window
+
+    pad = n_fft // 2
+    full = (n_frames - 1) * hop_length + n_fft
+    starts = np.arange(n_frames, dtype=np.int32) * hop_length
+    idx = jnp.asarray(starts[:, None] + np.arange(n_fft, dtype=np.int32)[None, :])
+
+    batch_shape = spec.shape[:-2]
+    flat = frames.reshape((-1, n_frames, n_fft))
+    out = jnp.zeros((flat.shape[0], full), dtype=frames.dtype)
+    out = out.at[:, idx.reshape(-1)].add(flat.reshape(flat.shape[0], -1))
+
+    # Squared-window sum normalization (librosa.filters.window_sumsquare), with
+    # librosa's guard: only divide where the sum exceeds float tiny.
+    wss = np.zeros((full,), dtype=np.float64)
+    w2 = hann_window(n_fft) ** 2
+    for s in starts:
+        wss[s : s + n_fft] += w2
+    tiny = np.finfo(np.float32).tiny
+    inv_wss = np.where(wss > tiny, 1.0 / np.maximum(wss, tiny), 1.0).astype(np.float32)
+    out = out * jnp.asarray(inv_wss)
+
+    if length is None:
+        length = (n_frames - 1) * hop_length
+    out = out[:, pad : pad + length]
+    return out.reshape(batch_shape + (length,))
