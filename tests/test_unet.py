@@ -1,0 +1,146 @@
+"""UNet2D structure/jit/grad gates (SURVEY.md §7 stage 3) on tiny configs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_diffusion_tpu.models import UNet2D, UNetConfig, conditional_config, unconditional_config
+
+
+def tiny_config(**kw):
+    return UNetConfig(
+        sample_size=(16, 16),
+        block_out_channels=(8, 16),
+        down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+        up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+        layers_per_block=1,
+        norm_num_groups=4,
+        attention_head_dim=4,
+        **kw,
+    )
+
+
+def tiny_cond_config(**kw):
+    return UNetConfig(
+        sample_size=(16, 16),
+        block_out_channels=(8, 16),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1,
+        norm_num_groups=4,
+        attention_head_dim=4,
+        cross_attention_dim=12,
+        **kw,
+    )
+
+
+def test_unconditional_forward_shape():
+    cfg = tiny_config()
+    model = UNet2D(cfg)
+    params = model.init_params(jax.random.key(0))
+    x = jnp.ones((2, 16, 16, 1))
+    t = jnp.array([0, 999])
+    out = model.apply({"params": params}, x, t)
+    assert out.shape == (2, 16, 16, 1)
+    assert out.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_conditional_forward_shape_and_conditioning_matters():
+    cfg = tiny_cond_config()
+    model = UNet2D(cfg)
+    params = model.init_params(jax.random.key(0))
+    x = jnp.ones((2, 16, 16, 1))
+    t = jnp.array([10, 10])
+    enc_a = jnp.zeros((2, 1, 12))
+    enc_b = jnp.ones((2, 1, 12))
+    out_a = model.apply({"params": params}, x, t, enc_a)
+    out_b = model.apply({"params": params}, x, t, enc_b)
+    assert out_a.shape == (2, 16, 16, 1)
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_conditional_requires_encoding():
+    model = UNet2D(tiny_cond_config())
+    params = model.init_params(jax.random.key(0))
+    with pytest.raises(ValueError, match="encoder_hidden_states"):
+        model.apply({"params": params}, jnp.ones((1, 16, 16, 1)), jnp.array([0]), None)
+
+
+def test_timestep_matters():
+    model = UNet2D(tiny_config())
+    params = model.init_params(jax.random.key(0))
+    x = jnp.ones((1, 16, 16, 1))
+    a = model.apply({"params": params}, x, jnp.array([0]))
+    b = model.apply({"params": params}, x, jnp.array([999]))
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_jit_and_grad():
+    model = UNet2D(tiny_config())
+    params = model.init_params(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (2, 16, 16, 1))
+    t = jnp.array([5, 17])
+    eps = jax.random.normal(jax.random.key(2), (2, 16, 16, 1))
+
+    @jax.jit
+    def loss_fn(p):
+        pred = model.apply({"params": p}, x, t)
+        return jnp.mean((pred - eps) ** 2)
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+
+
+def test_bfloat16_compute():
+    model = UNet2D(tiny_config(dtype="bfloat16"))
+    params = model.init_params(jax.random.key(0))
+    # Params stay f32; output is f32.
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    assert leaf.dtype == jnp.float32
+    out = model.apply({"params": params}, jnp.ones((1, 16, 16, 1)), jnp.array([3]))
+    assert out.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_remat_matches_no_remat():
+    cfg = tiny_config()
+    model = UNet2D(cfg)
+    model_r = UNet2D(tiny_config(remat=True))
+    params = model.init_params(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (1, 16, 16, 1))
+    a = model.apply({"params": params}, x, jnp.array([7]))
+    b = model_r.apply({"params": params}, x, jnp.array([7]))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_reference_architectures_param_counts():
+    """The reference architectures instantiate; unconditional config matches
+    the documented 6-block layout (train_unet.py:115-137)."""
+    cfg = unconditional_config(sample_size=(64, 64))
+    assert len(cfg.block_out_channels) == 6
+    assert cfg.down_block_types[4] == "AttnDownBlock2D"
+    assert cfg.up_block_types[1] == "AttnUpBlock2D"
+    ccfg = conditional_config(sample_size=(64, 64))
+    assert ccfg.is_conditional and ccfg.cross_attention_dim == 100
+    assert len(ccfg.block_out_channels) == 4
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = tiny_cond_config()
+    cfg.save_config(str(tmp_path))
+    loaded = UNetConfig.from_pretrained(str(tmp_path))
+    assert loaded == cfg
+
+
+def test_nonsquare_sample_size():
+    cfg = tiny_config()
+    cfg = UNetConfig.from_config({**cfg.config_dict(), "sample_size": [8, 16]})
+    model = UNet2D(cfg)
+    params = model.init_params(jax.random.key(0))
+    out = model.apply({"params": params}, jnp.ones((1, 8, 16, 1)), jnp.array([0]))
+    assert out.shape == (1, 8, 16, 1)
