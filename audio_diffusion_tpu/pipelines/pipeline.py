@@ -1,0 +1,330 @@
+"""AudioDiffusionPipeline — inference orchestration, single-scan on TPU.
+
+TPU-native rebuild of the reference pipeline (reference:
+audiodiffusion/pipeline_audio_diffusion.py:39-258). Feature-complete:
+unconditional generation, audio-to-audio via ``start_step`` re-noising,
+outpaint/inpaint column masking, conditional generation via ``encoding``,
+latent diffusion through a KL-VAE (0.18215 scaling), DDIM ``eta``,
+user-supplied ``noise``, DDIM inversion ``encode``, and ``slerp``.
+
+Architecture differences from the reference (deliberate, TPU-first):
+
+* the entire denoise loop — UNet forward, scheduler step, mask overwrite —
+  compiles to ONE ``jax.jit``-ed ``lax.scan`` (reference iterates in Python,
+  one CUDA launch stream per step; SURVEY.md §3.1);
+* the per-step mask is computed inside the scan body from (input, noise, t)
+  instead of materializing a (steps, H, W) mask stack (constant HBM);
+* explicit JAX PRNG keys replace ``torch.Generator``;
+* ``start_step`` re-noising applies to the whole batch (the reference writes
+  only ``images[0, 0]`` — a batch-1 bug, pipeline_audio_diffusion.py:150);
+* arrays are NHWC;
+* Griffin-Lim for the output batch runs as one batched device program.
+
+The per-step mask overwrite uses the noise level of the *current* timestep
+``t`` even though the sample has just been stepped to ``t_prev`` — the
+reference's exact (slightly off-by-one) semantics, preserved for parity
+(pipeline_audio_diffusion.py:157,181-185).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+from PIL import Image
+
+from ..mel import Mel
+from ..models.unet2d import UNet2D, UNetConfig
+from ..schedulers import DDIMScheduler, DDPMScheduler, load_scheduler, save_scheduler
+
+LATENT_SCALE = 0.18215  # SD latent scaling (reference: pipeline:147,188; train_unet.py:234-235)
+
+
+@dataclasses.dataclass
+class PipelineOutput:
+    images: List[Image.Image]
+    sample_rate: int
+    audios: List[np.ndarray]
+    raw_images: np.ndarray  # (B, H, W) uint8
+
+
+class AudioDiffusionPipeline:
+    """Composes {unet, scheduler, mel, optional vqvae} (reference: pipeline:53-61)."""
+
+    def __init__(
+        self,
+        unet: UNet2D,
+        unet_params,
+        mel: Mel,
+        scheduler: Union[DDIMScheduler, DDPMScheduler],
+        vqvae=None,
+        vqvae_params=None,
+    ):
+        self.unet = unet
+        self.unet_params = unet_params
+        self.mel = mel
+        self.scheduler = scheduler
+        self.vqvae = vqvae
+        self.vqvae_params = vqvae_params
+        self._compiled = {}
+
+    # ------------------------------------------------------------------ misc
+    def get_default_steps(self) -> int:
+        """50 for DDIM / num_train_timesteps for DDPM (reference: pipeline:63-69)."""
+        return self.scheduler.default_num_inference_steps()
+
+    @property
+    def sample_hw(self) -> Tuple[int, int]:
+        return self.unet.config.sample_hw()
+
+    @property
+    def is_latent(self) -> bool:
+        return self.vqvae is not None
+
+    # ----------------------------------------------------------- compiled core
+    def _denoise_fn(self, steps: int, start_step: int, eta: float, mask_start: int, mask_end: int,
+                    has_input: bool, has_encoding: bool):
+        """Build (and cache) the jitted scan for one static configuration."""
+        cache_key = (steps, start_step, eta, mask_start, mask_end, has_input, has_encoding)
+        if cache_key in self._compiled:
+            return self._compiled[cache_key]
+
+        scheduler = self.scheduler
+        schedule = scheduler.schedule(steps)
+        timesteps = jnp.asarray(schedule.timesteps[start_step:], dtype=jnp.int32)
+        unet = self.unet
+        is_ddim = isinstance(scheduler, DDIMScheduler)
+        width = self.sample_hw[1]
+        cols = jnp.arange(width)
+        # Columns the mask *freezes* (reference: pipeline:181-185).
+        frozen = jnp.zeros((width,), dtype=bool)
+        if mask_start > 0:
+            frozen = frozen | (cols < mask_start)
+        if mask_end > 0:
+            frozen = frozen | (cols >= width - mask_end)
+        frozen = frozen[None, None, :, None]  # NHWC broadcast over (B, H, W, C)
+
+        def run(params, images, input_images, noise, encoding, step_key):
+            def body(carry, t):
+                x, key = carry
+                key, sub = jax.random.split(key)
+                model_output = unet.apply({"params": params}, x, jnp.broadcast_to(t, (x.shape[0],)), encoding)
+                if is_ddim:
+                    x = scheduler.step(model_output, t, x, schedule, eta=eta, key=sub)
+                else:
+                    x = scheduler.step(model_output, t, x, schedule, key=sub)
+                if has_input and (mask_start > 0 or mask_end > 0):
+                    mask_t = scheduler.add_noise(input_images, noise, t)
+                    x = jnp.where(frozen, mask_t, x)
+                return (x, key), None
+
+            (x, _), _ = jax.lax.scan(body, (images, step_key), timesteps)
+            return x
+
+        fn = jax.jit(run)
+        self._compiled[cache_key] = fn
+        return fn
+
+    # -------------------------------------------------------------- generation
+    def __call__(
+        self,
+        batch_size: int = 1,
+        audio_file: str = None,
+        raw_audio: np.ndarray = None,
+        slice: int = 0,
+        start_step: int = 0,
+        steps: int = None,
+        key: Optional[jax.Array] = None,
+        mask_start_secs: float = 0,
+        mask_end_secs: float = 0,
+        step_key: Optional[jax.Array] = None,
+        eta: float = 0,
+        noise: Optional[jnp.ndarray] = None,
+        encoding: Optional[jnp.ndarray] = None,
+        return_dict: bool = True,
+        return_images_only: bool = False,
+    ):
+        """Generate mel spectrograms (and audio) — reference: pipeline:72-205.
+
+        ``key``/``step_key`` replace torch ``generator``/``step_generator``.
+        ``noise``/``encoding`` are NHWC / (B, seq, dim) arrays.
+        """
+        steps = steps or self.get_default_steps()
+        key = key if key is not None else jax.random.key(0)
+        key, noise_key, vae_key, gl_key = jax.random.split(key, 4)
+        step_key = step_key if step_key is not None else key
+
+        h, w = self.sample_hw
+        in_ch = self.unet.config.in_channels
+        if noise is None:
+            noise = jax.random.normal(noise_key, (batch_size, h, w, in_ch), dtype=jnp.float32)
+        else:
+            noise = jnp.asarray(noise, dtype=jnp.float32)
+            if noise.shape[-1] != in_ch and noise.shape[1] == in_ch:
+                noise = jnp.transpose(noise, (0, 2, 3, 1))  # accept NCHW for compat
+        images = noise
+
+        has_input = audio_file is not None or raw_audio is not None
+        input_images = jnp.zeros_like(noise)
+        mask_start = mask_end = 0
+        if has_input:
+            self.mel.load_audio(audio_file, raw_audio)
+            input_arr = np.asarray(self.mel.spectrogram_images_from_audio(self.mel.get_audio_slice(slice)[None]))
+            input_images = (jnp.asarray(input_arr, dtype=jnp.float32) / 255.0) * 2.0 - 1.0
+            input_images = input_images[..., None]  # (1, H, W, 1)
+
+            if self.is_latent:
+                latents = self.vqvae.apply(
+                    {"params": self.vqvae_params}, input_images, method=self.vqvae.encode
+                ).sample(vae_key)
+                input_images = LATENT_SCALE * latents
+
+            input_images = jnp.broadcast_to(input_images, noise.shape)
+
+            if start_step > 0:
+                schedule = self.scheduler.schedule(steps)
+                t0 = int(schedule.timesteps[start_step - 1])
+                images = self.scheduler.add_noise(input_images, noise, t0)
+
+            # pixels_per_second in model-sample space (reference: pipeline:152-156).
+            pixels_per_second = w * self.mel.get_sample_rate() / self.mel.x_res / self.mel.hop_length
+            mask_start = int(mask_start_secs * pixels_per_second)
+            mask_end = int(mask_end_secs * pixels_per_second)
+
+        fn = self._denoise_fn(steps, start_step, float(eta), mask_start, mask_end, has_input, encoding is not None)
+        enc = jnp.asarray(encoding, dtype=jnp.float32) if encoding is not None else None
+        images = fn(self.unet_params, images, input_images, noise, enc, step_key)
+
+        if self.is_latent:
+            images = self.vqvae.apply(
+                {"params": self.vqvae_params}, images / LATENT_SCALE, method=self.vqvae.decode
+            )
+
+        # [-1,1] -> uint8, exact reference math incl. half-to-even rounding
+        # (pipeline:192-194; jnp.round == torch.round == banker's rounding).
+        images = jnp.clip(images / 2 + 0.5, 0.0, 1.0)
+        raw = np.asarray(jnp.round(images * 255).astype(jnp.uint8))
+        if raw.shape[-1] == 1:
+            raw = raw[..., 0]
+        else:  # RGB VAE output -> luminance, like PIL convert("L") (pipeline:198)
+            raw = np.asarray(
+                np.round(raw[..., 0] * 0.299 + raw[..., 1] * 0.587 + raw[..., 2] * 0.114)
+            ).astype(np.uint8)
+
+        if return_images_only:
+            return raw
+
+        pil_images = [Image.fromarray(img) for img in raw]
+        audios_arr = np.asarray(self.mel.images_to_audio(raw, key=gl_key))
+        audios = [a for a in audios_arr]
+
+        if not return_dict:
+            return pil_images, (self.mel.get_sample_rate(), audios)
+        return PipelineOutput(pil_images, self.mel.get_sample_rate(), audios, raw)
+
+    # --------------------------------------------------------------- inversion
+    def encode(self, images: List[Image.Image], steps: int = 50) -> jnp.ndarray:
+        """Deterministic DDIM inversion: image -> noise (reference: pipeline:207-242).
+        Feeding the result back as ``noise=`` reproduces the image."""
+        assert isinstance(self.scheduler, DDIMScheduler), "encode requires DDIM (deterministic)"
+        schedule = self.scheduler.schedule(steps)
+        arr = np.stack(
+            [np.frombuffer(im.tobytes(), dtype="uint8").reshape((im.height, im.width)) for im in images]
+        )
+        sample = (jnp.asarray(arr, dtype=jnp.float32) / 255.0) * 2.0 - 1.0
+        sample = sample[..., None]  # NHWC
+
+        cache_key = ("encode", steps)
+        if cache_key not in self._compiled:
+            timesteps = jnp.asarray(schedule.timesteps[::-1].copy(), dtype=jnp.int32)
+            unet, scheduler = self.unet, self.scheduler
+
+            def run(params, x):
+                def body(x, t):
+                    model_output = unet.apply({"params": params}, x, jnp.broadcast_to(t, (x.shape[0],)), None)
+                    return scheduler.invert_step(model_output, t, x, schedule), None
+
+                x, _ = jax.lax.scan(body, x, timesteps)
+                return x
+
+            self._compiled[cache_key] = jax.jit(run)
+        return self._compiled[cache_key](self.unet_params, sample)
+
+    @staticmethod
+    def slerp(x0: jnp.ndarray, x1: jnp.ndarray, alpha: float) -> jnp.ndarray:
+        """Spherical linear interpolation (reference: pipeline:244-258)."""
+        x0, x1 = jnp.asarray(x0), jnp.asarray(x1)
+        theta = jnp.arccos(
+            jnp.clip(jnp.vdot(x0.ravel(), x1.ravel()) / (jnp.linalg.norm(x0) * jnp.linalg.norm(x1)), -1.0, 1.0)
+        )
+        sin_theta = jnp.sin(theta)
+        return jnp.sin((1 - alpha) * theta) / sin_theta * x0 + jnp.sin(alpha * theta) / sin_theta * x1
+
+    # ------------------------------------------------------------- persistence
+    def save_pretrained(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        index = {
+            "_class_name": "AudioDiffusionPipeline",
+            "unet": True,
+            "scheduler": type(self.scheduler).__name__,
+            "mel": True,
+            "vqvae": self.vqvae is not None,
+        }
+        with open(os.path.join(directory, "model_index.json"), "w") as fh:
+            json.dump(index, fh, indent=2)
+
+        unet_dir = os.path.join(directory, "unet")
+        self.unet.config.save_config(unet_dir)
+        with open(os.path.join(unet_dir, "params.msgpack"), "wb") as fh:
+            fh.write(serialization.to_bytes(self.unet_params))
+
+        save_scheduler(self.scheduler, os.path.join(directory, "scheduler"))
+        self.mel.save_pretrained(os.path.join(directory, "mel"))
+
+        if self.vqvae is not None:
+            vae_dir = os.path.join(directory, "vqvae")
+            self.vqvae.config.save_config(vae_dir)
+            with open(os.path.join(vae_dir, "params.msgpack"), "wb") as fh:
+                fh.write(serialization.to_bytes(self.vqvae_params))
+
+    @classmethod
+    def from_pretrained(cls, directory: str) -> "AudioDiffusionPipeline":
+        """Load a pipeline saved by :meth:`save_pretrained`. Directories written
+        by the reference (torch diffusers format) load via
+        ``utils.torch_import.pipeline_from_torch_pretrained``."""
+        with open(os.path.join(directory, "model_index.json")) as fh:
+            index = json.load(fh)
+
+        unet_dir = os.path.join(directory, "unet")
+        if not os.path.exists(os.path.join(unet_dir, "params.msgpack")):
+            from ..utils.torch_import import pipeline_from_torch_pretrained
+
+            return pipeline_from_torch_pretrained(directory)
+
+        unet_cfg = UNetConfig.from_pretrained(unet_dir)
+        unet = UNet2D(unet_cfg)
+        template = unet.init_params(jax.random.key(0))
+        with open(os.path.join(unet_dir, "params.msgpack"), "rb") as fh:
+            unet_params = serialization.from_bytes(template, fh.read())
+
+        scheduler = load_scheduler(os.path.join(directory, "scheduler"))
+        mel = Mel.from_pretrained(os.path.join(directory, "mel"))
+
+        vqvae = vqvae_params = None
+        vae_dir = os.path.join(directory, "vqvae")
+        if index.get("vqvae") and os.path.isdir(vae_dir):
+            from ..models.vae import AutoencoderKL, VAEConfig
+
+            vae_cfg = VAEConfig.from_pretrained(vae_dir)
+            vqvae = AutoencoderKL(vae_cfg)
+            vae_template = vqvae.init_params(jax.random.key(0))
+            with open(os.path.join(vae_dir, "params.msgpack"), "rb") as fh:
+                vqvae_params = serialization.from_bytes(vae_template, fh.read())
+
+        return cls(unet, unet_params, mel, scheduler, vqvae, vqvae_params)

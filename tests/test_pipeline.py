@@ -1,0 +1,202 @@
+"""End-to-end pipeline gates (SURVEY.md §7 stage 4, BASELINE.json configs 2-3):
+tiny UNet, full generation matrix under jit on the CPU backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_diffusion_tpu.mel import Mel
+from audio_diffusion_tpu.models import UNet2D, UNetConfig
+from audio_diffusion_tpu.pipelines import AudioDiffusionPipeline
+from audio_diffusion_tpu.schedulers import DDIMScheduler, DDPMScheduler, SchedulerConfig
+
+from conftest import synth_audio
+
+RES = 16
+
+
+def tiny_unet(cross_attention_dim=None):
+    cfg = UNetConfig(
+        sample_size=(RES, RES),
+        block_out_channels=(8, 16),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D") if cross_attention_dim else ("DownBlock2D", "AttnDownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D") if cross_attention_dim else ("AttnUpBlock2D", "UpBlock2D"),
+        layers_per_block=1,
+        norm_num_groups=4,
+        attention_head_dim=4,
+        cross_attention_dim=cross_attention_dim,
+    )
+    unet = UNet2D(cfg)
+    return unet, unet.init_params(jax.random.key(0))
+
+
+def tiny_mel():
+    return Mel(x_res=RES, y_res=RES, hop_length=512, n_iter=4)
+
+
+@pytest.fixture(scope="module")
+def ddim_pipe():
+    unet, params = tiny_unet()
+    return AudioDiffusionPipeline(unet, params, tiny_mel(), DDIMScheduler())
+
+
+def test_unconditional_ddim_generation(ddim_pipe):
+    out = ddim_pipe(batch_size=2, steps=3, key=jax.random.key(1))
+    assert len(out.images) == 2
+    assert out.images[0].size == (RES, RES)
+    assert out.raw_images.shape == (2, RES, RES) and out.raw_images.dtype == np.uint8
+    assert len(out.audios) == 2
+    assert out.audios[0].shape == ((RES - 1) * 512,)
+    assert out.sample_rate == 22050
+    assert np.isfinite(out.audios[0]).all()
+
+
+def test_generation_deterministic_with_key(ddim_pipe):
+    a = ddim_pipe(batch_size=1, steps=3, key=jax.random.key(7), return_images_only=True)
+    b = ddim_pipe(batch_size=1, steps=3, key=jax.random.key(7), return_images_only=True)
+    np.testing.assert_array_equal(a, b)
+    c = ddim_pipe(batch_size=1, steps=3, key=jax.random.key(8), return_images_only=True)
+    assert not np.array_equal(a, c)
+
+
+def test_return_tuple_matches_reference_contract(ddim_pipe):
+    images, (sr, audios) = ddim_pipe(batch_size=1, steps=2, return_dict=False)
+    assert sr == 22050 and len(images) == 1 and len(audios) == 1
+
+
+def test_ddpm_generation():
+    unet, params = tiny_unet()
+    pipe = AudioDiffusionPipeline(unet, params, tiny_mel(), DDPMScheduler(SchedulerConfig(num_train_timesteps=20)))
+    assert pipe.get_default_steps() == 20
+    raw = pipe(batch_size=1, steps=5, key=jax.random.key(0), return_images_only=True)
+    assert raw.shape == (1, RES, RES)
+
+
+def test_audio_to_audio_with_start_step(ddim_pipe):
+    audio = synth_audio(RES * 512 - 1)
+    raw = ddim_pipe(
+        batch_size=1, raw_audio=audio, start_step=2, steps=4, key=jax.random.key(3), return_images_only=True
+    )
+    assert raw.shape == (1, RES, RES)
+
+
+def test_mask_freezes_columns(ddim_pipe):
+    """Outpainting semantics: masked columns must equal the (t=0-noised) input
+    columns at the end of the loop (reference: pipeline:181-185)."""
+    audio = synth_audio(RES * 512 - 1)
+    mel = ddim_pipe.mel
+    input_img = np.asarray(mel.spectrogram_images_from_audio(audio[None]))[0]
+
+    pixels_per_second = RES * 22050 / RES / 512  # = 43.07
+    mask_secs = 4 / pixels_per_second  # exactly 4 columns
+    raw = ddim_pipe(
+        batch_size=1,
+        raw_audio=audio,
+        steps=4,
+        key=jax.random.key(3),
+        mask_start_secs=mask_secs,
+        return_images_only=True,
+    )[0]
+    # Final mask overwrite is add_noise at t=0 ~= input itself (alpha_0 ~ 1).
+    diff = np.abs(raw[:, :4].astype(float) - input_img[:, :4].astype(float)).mean()
+    other = np.abs(raw[:, 4:].astype(float) - input_img[:, 4:].astype(float)).mean()
+    assert diff < 10.0, f"masked columns deviate: {diff}"
+    assert other > diff, "unmasked columns should differ more than masked ones"
+
+
+def test_mask_end_columns(ddim_pipe):
+    audio = synth_audio(RES * 512 - 1)
+    mel = ddim_pipe.mel
+    input_img = np.asarray(mel.spectrogram_images_from_audio(audio[None]))[0]
+    pixels_per_second = RES * 22050 / RES / 512
+    raw = ddim_pipe(
+        batch_size=1, raw_audio=audio, steps=4, key=jax.random.key(3),
+        mask_end_secs=4 / pixels_per_second, return_images_only=True,
+    )[0]
+    diff = np.abs(raw[:, -4:].astype(float) - input_img[:, -4:].astype(float)).mean()
+    assert diff < 10.0
+
+
+class _TimestepOnlyUNet:
+    """Duck-typed UNet whose output depends only on t — makes the DDIM maps
+    exactly linear so inversion must be an exact inverse. (DDIM inversion is
+    approximate for real nets — the model is re-evaluated at a different point
+    on the trajectory — in the reference too; pipeline:228-240.)"""
+
+    def __init__(self, cfg, pattern):
+        self.config = cfg
+        self.pattern = jnp.asarray(pattern)
+
+    def apply(self, variables, x, t, enc=None):
+        tt = jnp.broadcast_to(t, (x.shape[0],)).astype(jnp.float32) / 1000.0
+        return self.pattern[None] * (0.3 + tt[:, None, None, None])
+
+
+def test_encode_inverts_generation():
+    """Generate -> encode -> regenerate reproduces the image up to uint8
+    quantization (BASELINE gate for the DDIM-encode feature)."""
+    cfg = UNetConfig(sample_size=(RES, RES), block_out_channels=(8, 16))
+    pattern = np.random.default_rng(0).standard_normal((RES, RES, 1)).astype(np.float32) * 0.3
+    unet = _TimestepOnlyUNet(cfg, pattern)
+    sched = DDIMScheduler(SchedulerConfig(clip_sample=False))
+    pipe = AudioDiffusionPipeline(unet, {}, tiny_mel(), sched)
+
+    out = pipe(batch_size=1, steps=5, key=jax.random.key(11))
+    noise2 = pipe.encode(out.images, steps=5)
+    assert noise2.shape == (1, RES, RES, 1)
+    raw2 = pipe(batch_size=1, steps=5, noise=noise2, return_images_only=True)
+    mae = np.abs(out.raw_images.astype(float) - raw2.astype(float)).mean()
+    assert mae < 3.0, f"inversion roundtrip MAE {mae}"
+
+
+def test_encode_requires_ddim():
+    unet, params = tiny_unet()
+    pipe = AudioDiffusionPipeline(unet, params, tiny_mel(), DDPMScheduler())
+    with pytest.raises(AssertionError):
+        pipe.encode([])
+
+
+def test_eta_stochastic_ddim(ddim_pipe):
+    a = ddim_pipe(batch_size=1, steps=3, key=jax.random.key(5), eta=1.0,
+                  step_key=jax.random.key(1), return_images_only=True)
+    b = ddim_pipe(batch_size=1, steps=3, key=jax.random.key(5), eta=1.0,
+                  step_key=jax.random.key(2), return_images_only=True)
+    assert not np.array_equal(a, b), "eta=1 must inject per-step noise"
+
+
+def test_slerp_endpoints_and_midpoint():
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal((4, 4)))
+    x1 = jnp.asarray(np.random.default_rng(1).standard_normal((4, 4)))
+    np.testing.assert_allclose(np.asarray(AudioDiffusionPipeline.slerp(x0, x1, 0.0)), np.asarray(x0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(AudioDiffusionPipeline.slerp(x0, x1, 1.0)), np.asarray(x1), atol=1e-6)
+    mid = AudioDiffusionPipeline.slerp(x0, x1, 0.5)
+    assert np.isfinite(np.asarray(mid)).all()
+
+
+def test_conditional_pipeline():
+    unet, params = tiny_unet(cross_attention_dim=12)
+    pipe = AudioDiffusionPipeline(unet, params, tiny_mel(), DDIMScheduler())
+    enc_a = jnp.zeros((1, 1, 12))
+    enc_b = jnp.ones((1, 1, 12))
+    a = pipe(batch_size=1, steps=3, key=jax.random.key(0), encoding=enc_a, return_images_only=True)
+    b = pipe(batch_size=1, steps=3, key=jax.random.key(0), encoding=enc_b, return_images_only=True)
+    assert not np.array_equal(a, b)
+
+
+def test_user_supplied_noise_nchw_compat(ddim_pipe):
+    noise_nhwc = np.asarray(jax.random.normal(jax.random.key(2), (1, RES, RES, 1)))
+    noise_nchw = np.transpose(noise_nhwc, (0, 3, 1, 2))
+    a = ddim_pipe(batch_size=1, steps=3, noise=noise_nhwc, return_images_only=True)
+    b = ddim_pipe(batch_size=1, steps=3, noise=noise_nchw, return_images_only=True)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_save_load_roundtrip(tmp_path, ddim_pipe):
+    ddim_pipe.save_pretrained(str(tmp_path))
+    loaded = AudioDiffusionPipeline.from_pretrained(str(tmp_path))
+    a = ddim_pipe(batch_size=1, steps=3, key=jax.random.key(4), return_images_only=True)
+    b = loaded(batch_size=1, steps=3, key=jax.random.key(4), return_images_only=True)
+    np.testing.assert_array_equal(a, b)
+    assert isinstance(loaded.scheduler, DDIMScheduler)
+    assert loaded.mel.config == ddim_pipe.mel.config
