@@ -1,0 +1,116 @@
+"""Spectrogram-image dataset loading and batching for training.
+
+The reference trains from a HF ``datasets`` arrow dataset with features
+{image: PNG, audio_file: str, slice: int16} built by audio_to_images.py
+(reference: scripts/audio_to_images.py:67-78, train_unet.py:52-91). This module
+reads that exact format (``datasets.load_from_disk``) or a plain folder of
+PNGs, normalizes images to [-1, 1] like the reference's ToTensor+Normalize
+transform (train_unet.py:73-78), attaches per-file conditioning encodings
+(train_unet.py:85-87), and groups batches as (accum, micro_batch, H, W, C)
+for the scanned gradient-accumulation train step.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+class ImageSliceDataset:
+    """Uniform view over a HF on-disk dataset or a folder of PNG spectrograms."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._hf = None
+        self._files: List[str] = []
+        if os.path.isdir(path) and (
+            os.path.exists(os.path.join(path, "dataset_dict.json"))
+            or os.path.exists(os.path.join(path, "dataset_info.json"))
+            or os.path.exists(os.path.join(path, "state.json"))
+        ):
+            import datasets
+
+            ds = datasets.load_from_disk(path)
+            if isinstance(ds, datasets.DatasetDict):
+                ds = ds["train"]
+            self._hf = ds
+        elif os.path.isdir(path):
+            self._files = sorted(
+                os.path.join(root, f)
+                for root, _, files in os.walk(path)
+                for f in files
+                if f.lower().endswith(".png")
+            )
+            if not self._files:
+                raise ValueError(f"No PNG images or HF dataset found under {path!r}")
+        else:
+            raise ValueError(f"{path!r} is not a directory")
+
+    def __len__(self) -> int:
+        return len(self._hf) if self._hf is not None else len(self._files)
+
+    def get(self, index: int) -> Dict:
+        if self._hf is not None:
+            item = self._hf[int(index)]
+            img = item["image"]
+            if not isinstance(img, Image.Image):
+                img = Image.open(img["path"]) if isinstance(img, dict) else Image.fromarray(np.asarray(img))
+            return {
+                "image": np.asarray(img.convert("L"), dtype=np.uint8),
+                "audio_file": item.get("audio_file", ""),
+                "slice": item.get("slice", 0),
+            }
+        f = self._files[index]
+        return {"image": np.asarray(Image.open(f).convert("L"), dtype=np.uint8), "audio_file": f, "slice": 0}
+
+    @property
+    def resolution(self) -> Tuple[int, int]:
+        """(height, width) — shapes derive from the data, not flags
+        (reference: train_unet.py:70-71)."""
+        img = self.get(0)["image"]
+        return img.shape[0], img.shape[1]
+
+
+def load_encodings(path: str) -> Dict[str, np.ndarray]:
+    """Pickled {audio_file: encoding} map (reference: train_unet.py:93-94)."""
+    with open(path, "rb") as fh:
+        enc = pickle.load(fh)
+    return {k: np.asarray(v, dtype=np.float32) for k, v in enc.items()}
+
+
+def epoch_batches(
+    dataset: ImageSliceDataset,
+    batch_size: int,
+    accum: int = 1,
+    rng: Optional[np.random.Generator] = None,
+    encodings: Optional[Dict[str, np.ndarray]] = None,
+    drop_last: bool = True,
+) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
+    """Yield (images, encodings) with images (accum, batch, H, W, 1) in [-1, 1].
+
+    ``batch_size`` is the per-optimizer-step microbatch (sharded over the data
+    mesh axis); ``accum`` microbatches are grouped per yield.
+    """
+    n = len(dataset)
+    order = np.arange(n)
+    if rng is not None:
+        rng.shuffle(order)
+    group = batch_size * accum
+    limit = (n // group) * group if drop_last else n
+    for start in range(0, limit, group):
+        idx = order[start : start + group]
+        items = [dataset.get(i) for i in idx]
+        images = np.stack([it["image"] for it in items]).astype(np.float32)
+        images = images / 255.0 * 2.0 - 1.0  # ToTensor + Normalize(0.5, 0.5)
+        images = images[..., None].reshape(accum, batch_size, *images.shape[1:], 1)
+        enc_batch = None
+        if encodings is not None:
+            enc = np.stack([encodings[it["audio_file"]] for it in items])
+            if enc.ndim == 2:
+                enc = enc[:, None, :]  # (B, 1, dim) for cross-attention
+            enc_batch = enc.reshape(accum, batch_size, *enc.shape[1:])
+        yield images, enc_batch

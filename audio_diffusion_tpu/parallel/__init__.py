@@ -1,0 +1,10 @@
+from .mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    fsdp_sharding_for,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_batch,
+)

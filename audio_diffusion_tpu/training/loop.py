@@ -1,0 +1,221 @@
+"""End-to-end UNet training loop: data, SPMD steps, logging, eval, checkpoints.
+
+Drives :mod:`.train_unet` the way the reference's script drives accelerate
+(reference: scripts/train_unet.py:41-351): epoch loop, tensorboard scalars
+{loss, lr, step, ema_decay} per step (train_unet.py:272-280), sample
+generation with a fixed seed every ``save_images_epochs`` (313-348), pipeline
+``save_pretrained`` every ``save_model_epochs`` (302-311), plus atomic orbax
+train-state checkpoints for preemption-safe resume (replacing the reference's
+optimizer-replay fast-forward, train_unet.py:216-224).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..data.dataset import ImageSliceDataset, epoch_batches, load_encodings
+from ..mel import Mel
+from ..models.unet2d import UNet2D, UNetConfig, conditional_config, unconditional_config
+from ..parallel.mesh import make_mesh
+from ..pipelines.pipeline import AudioDiffusionPipeline
+from ..schedulers import DDIMScheduler, DDPMScheduler, SchedulerConfig
+from .checkpoint import make_manager, restore_train_state, save_train_state
+from .train_unet import (
+    TrainConfig,
+    batch_shardings,
+    init_train_state,
+    make_lr_schedule,
+    make_train_step,
+    shard_train_state,
+)
+
+logger = logging.getLogger("audio_diffusion_tpu.training")
+
+
+@dataclasses.dataclass
+class RunConfig:
+    dataset: str
+    output_dir: str = "ddpm-model"
+    num_epochs: int = 100
+    train_batch_size: int = 16  # per optimizer step, before grad accumulation
+    eval_batch_size: int = 16
+    save_images_epochs: int = 10
+    save_model_epochs: int = 10
+    scheduler: str = "ddpm"
+    num_train_steps: int = 1000
+    hop_length: int = 512
+    sample_rate: int = 22050
+    n_fft: int = 2048
+    from_pretrained: Optional[str] = None
+    vae: Optional[str] = None
+    encodings: Optional[str] = None
+    mixed_precision: str = "no"  # "no" | "bf16"
+    mesh_data: Optional[int] = None
+    seed: int = 0
+    log_every: int = 10
+    max_steps: Optional[int] = None  # early stop (smoke tests)
+
+
+def run_training(run: RunConfig, train: TrainConfig) -> dict:
+    dataset = ImageSliceDataset(run.dataset)
+    resolution = dataset.resolution  # (H, W) from the data (reference: train_unet.py:70-71)
+
+    encodings = load_encodings(run.encodings) if run.encodings else None
+    conditional = encodings is not None
+
+    num_data = run.mesh_data
+    if num_data is None:
+        # Auto-fit: the microbatch axis shards along 'data', so the data-axis
+        # size must divide train_batch_size. Use the largest such device count.
+        n_dev = len(jax.devices())
+        num_data = np.gcd(n_dev, run.train_batch_size)
+        if num_data < n_dev:
+            logger.warning(
+                "train_batch_size=%d not divisible by %d devices; using a %d-device data axis",
+                run.train_batch_size, n_dev, num_data,
+            )
+    mesh = make_mesh(num_data=num_data, devices=np.asarray(jax.devices())[: num_data])
+    logger.info("mesh: %s over %d devices", dict(mesh.shape), mesh.devices.size)
+
+    vqvae = vqvae_params = None
+    if run.vae is not None:
+        from ..models.vae import AutoencoderKL, VAEConfig
+        from flax import serialization
+
+        vae_dir = run.vae if os.path.exists(os.path.join(run.vae, "config.json")) else os.path.join(run.vae, "vqvae")
+        vae_cfg = VAEConfig.from_pretrained(vae_dir)
+        vqvae = AutoencoderKL(vae_cfg)
+        template = vqvae.init_params(jax.random.key(0), sample_hw=resolution)
+        with open(os.path.join(vae_dir, "params.msgpack"), "rb") as fh:
+            vqvae_params = serialization.from_bytes(template, fh.read())
+        sample_hw = vae_cfg.latent_hw(*resolution)
+        channels = vae_cfg.latent_channels
+    else:
+        sample_hw = resolution
+        channels = 1
+
+    dtype = "bfloat16" if run.mixed_precision == "bf16" else "float32"
+    if run.from_pretrained is not None:
+        pipe = AudioDiffusionPipeline.from_pretrained(run.from_pretrained)
+        unet, params = pipe.unet, pipe.unet_params
+        if pipe.vqvae is not None:
+            vqvae, vqvae_params = pipe.vqvae, pipe.vqvae_params
+    elif conditional:
+        dim = next(iter(encodings.values())).shape[-1]
+        cfg = conditional_config(sample_hw, channels, channels, cross_attention_dim=dim, dtype=dtype)
+        unet = UNet2D(cfg)
+        params = unet.init_params(jax.random.key(run.seed))
+    else:
+        cfg = unconditional_config(sample_hw, channels, channels, dtype=dtype)
+        unet = UNet2D(cfg)
+        params = unet.init_params(jax.random.key(run.seed))
+
+    sched_cfg = SchedulerConfig(num_train_timesteps=run.num_train_steps)
+    scheduler = DDPMScheduler(sched_cfg) if run.scheduler == "ddpm" else DDIMScheduler(sched_cfg)
+
+    accum = train.gradient_accumulation_steps
+    micro = run.train_batch_size
+    steps_per_epoch = len(dataset) // (micro * accum)
+    total_steps = steps_per_epoch * run.num_epochs
+    train = dataclasses.replace(train, total_steps=max(total_steps, train.lr_warmup_steps + 1))
+    lr_schedule = make_lr_schedule(train)
+
+    state = init_train_state(train, params)
+    ckpt_dir = os.path.join(run.output_dir, "checkpoints")
+    manager = make_manager(ckpt_dir)
+    restored = restore_train_state(manager, state)
+    if restored is not None:
+        state = restored
+        logger.info("resumed from step %d", int(state.step))
+    state = shard_train_state(state, mesh, train)
+
+    step_fn = make_train_step(train, unet, scheduler, vqvae, vqvae_params, conditional)
+    img_sh, enc_sh = batch_shardings(mesh)
+
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(run.output_dir, "logs"))
+    except ImportError:
+        logger.warning("tensorboardX unavailable; metrics go to stdout only")
+
+    mel = Mel(x_res=resolution[1], y_res=resolution[0], hop_length=run.hop_length,
+              sample_rate=run.sample_rate, n_fft=run.n_fft)
+
+    rng = np.random.default_rng(run.seed)
+    global_step = int(state.step)
+    last_metrics = None
+    t_start = time.time()
+    start_epoch = global_step // max(steps_per_epoch, 1)
+    done = False
+
+    for epoch in range(start_epoch, run.num_epochs):
+        for images, enc in epoch_batches(dataset, micro, accum, rng, encodings):
+            images = jax.device_put(images, img_sh)
+            enc = jax.device_put(enc, enc_sh) if enc is not None else None
+            key = jax.random.fold_in(jax.random.key(run.seed), global_step)
+            state, metrics = step_fn(state, images, enc, key)
+            last_metrics = metrics
+            global_step += 1
+            if global_step % run.log_every == 0 or global_step == 1:
+                logs = {
+                    "loss": float(metrics["loss"]),
+                    "lr": float(lr_schedule(global_step)),
+                    "step": global_step,
+                    "ema_decay": float(metrics["ema_decay"]),
+                    "grad_norm": float(metrics["grad_norm"]),
+                }
+                logger.info("epoch %d step %d: %s", epoch, global_step, logs)
+                if writer:
+                    for k, v in logs.items():
+                        writer.add_scalar(k, v, global_step)
+            if run.max_steps and global_step >= run.max_steps:
+                done = True
+                break
+
+        eval_pipe = None
+        if (epoch + 1) % run.save_model_epochs == 0 or (epoch + 1) % run.save_images_epochs == 0 or \
+                epoch == run.num_epochs - 1 or done:
+            eval_params = state.ema_params if train.use_ema else state.params
+            eval_pipe = AudioDiffusionPipeline(unet, eval_params, mel, scheduler, vqvae, vqvae_params)
+
+        if eval_pipe and ((epoch + 1) % run.save_model_epochs == 0 or epoch == run.num_epochs - 1 or done):
+            eval_pipe.save_pretrained(run.output_dir)
+            save_train_state(manager, global_step, jax.device_get(state))
+
+        if eval_pipe and writer and (epoch + 1) % run.save_images_epochs == 0:
+            enc_eval = None
+            if conditional:
+                vals = list(encodings.values())
+                pick = rng.choice(len(vals), size=min(run.eval_batch_size, len(vals)), replace=False)
+                enc_eval = np.stack([vals[i] for i in pick])[:, None, :]
+            out = eval_pipe(batch_size=run.eval_batch_size, key=jax.random.key(42),
+                            steps=min(50, run.num_train_steps), encoding=enc_eval)
+            writer.add_images("test_samples", out.raw_images[:, None, :, :], epoch)
+            from ..ops.audio_io import normalize
+
+            try:
+                for i, audio in enumerate(out.audios):
+                    writer.add_audio(f"test_audio_{i}", normalize(audio)[None, :], epoch,
+                                     sample_rate=out.sample_rate)
+            except ImportError:  # tensorboardX add_audio needs soundfile
+                logger.warning("soundfile unavailable; skipping tensorboard audio logging")
+        if done:
+            break
+
+    if writer:
+        writer.close()
+    return {
+        "steps": global_step,
+        "loss": float(last_metrics["loss"]) if last_metrics is not None else float("nan"),
+        "seconds": time.time() - t_start,
+        "output_dir": run.output_dir,
+    }

@@ -1,0 +1,189 @@
+"""Adversarial KL-VAE training (the LPIPSWithDiscriminator recipe, TPU-native).
+
+The reference trains its VAE with the CompVis stable-diffusion harness under
+pytorch-lightning (reference: scripts/train_vae.py:128-177 and
+config/ldm_autoencoder_kl.yaml:10-16: LPIPS + KL(1e-6) + adversarial
+discriminator, weight 0.5, starting at step 50001). This module rebuilds that
+recipe as two jitted SPMD steps (generator/discriminator alternation, like the
+lightning ``optimizer_idx`` switch):
+
+* reconstruction: L1 + a multi-scale pyramid L1 as the perceptual term. LPIPS
+  proper needs pretrained VGG features, which cannot be fetched in a zero-egress
+  build; the pyramid term is the documented substitute and is configurable.
+* NLL scaling by a learned global ``logvar`` (CompVis trick);
+* KL regularization (weight 1e-6);
+* PatchGAN discriminator (4x4 convs, stride-2 pyramid) with hinge loss;
+* adaptive generator-adversarial weight ||grad_last(nll)|| / ||grad_last(g)||
+  computed with ``jax.grad`` w.r.t. the final decoder conv kernel — the exact
+  CompVis calculate_adaptive_weight rule — clipped to 1e4 and scaled by
+  ``disc_weight``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+from flax import struct
+
+
+@dataclasses.dataclass(frozen=True)
+class VAETrainConfig:
+    learning_rate: float = 4.5e-6  # CompVis base_learning_rate (ldm_autoencoder_kl.yaml:4)
+    kl_weight: float = 1.0e-6
+    disc_weight: float = 0.5
+    disc_start: int = 50001
+    pixel_weight: float = 1.0
+    perceptual_weight: float = 1.0
+    disc_channels: int = 64
+    disc_layers: int = 3
+    adam_beta1: float = 0.5
+    adam_beta2: float = 0.9
+
+
+class PatchDiscriminator(nn.Module):
+    """PatchGAN (pix2pix NLayerDiscriminator shape: 4x4 convs, stride-2 pyramid)."""
+
+    base_channels: int = 64
+    n_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.base_channels, (4, 4), strides=(2, 2), padding=1, name="conv_in")(x)
+        x = nn.leaky_relu(x, 0.2)
+        ch = self.base_channels
+        for i in range(1, self.n_layers):
+            ch = min(ch * 2, 512)
+            x = nn.Conv(ch, (4, 4), strides=(2, 2), padding=1, use_bias=False, name=f"conv_{i}")(x)
+            x = nn.GroupNorm(num_groups=None, group_size=1, name=f"norm_{i}")(x)  # instance-norm-like
+            x = nn.leaky_relu(x, 0.2)
+        ch = min(ch * 2, 512)
+        x = nn.Conv(ch, (4, 4), strides=(1, 1), padding=1, use_bias=False, name="conv_last")(x)
+        x = nn.GroupNorm(num_groups=None, group_size=1, name="norm_last")(x)
+        x = nn.leaky_relu(x, 0.2)
+        return nn.Conv(1, (4, 4), strides=(1, 1), padding=1, name="conv_out")(x)
+
+
+def pyramid_l1(a: jnp.ndarray, b: jnp.ndarray, levels: int = 3) -> jnp.ndarray:
+    """Multi-scale L1: mean over an average-pool pyramid (perceptual substitute)."""
+    loss = jnp.mean(jnp.abs(a - b))
+    for _ in range(levels):
+        a = nn.avg_pool(a, (2, 2), strides=(2, 2))
+        b = nn.avg_pool(b, (2, 2), strides=(2, 2))
+        loss = loss + jnp.mean(jnp.abs(a - b))
+    return loss / (levels + 1)
+
+
+class VAETrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any          # {"vae": ..., "logvar": scalar}
+    opt_state: Any
+    disc_params: Any
+    disc_opt_state: Any
+
+
+def init_vae_train_state(cfg: VAETrainConfig, vae, vae_params, sample_hw: Tuple[int, int],
+                         in_channels: int = 1) -> Tuple[VAETrainState, PatchDiscriminator]:
+    disc = PatchDiscriminator(cfg.disc_channels, cfg.disc_layers)
+    disc_params = disc.init(jax.random.key(1), jnp.zeros((1, *sample_hw, in_channels)))["params"]
+    gen_params = {"vae": vae_params, "logvar": jnp.zeros(())}
+    g_opt = optax.adam(cfg.learning_rate, b1=cfg.adam_beta1, b2=cfg.adam_beta2)
+    d_opt = optax.adam(cfg.learning_rate, b1=cfg.adam_beta1, b2=cfg.adam_beta2)
+    state = VAETrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=gen_params,
+        opt_state=g_opt.init(gen_params),
+        disc_params=disc_params,
+        disc_opt_state=d_opt.init(disc_params),
+    )
+    return state, disc
+
+
+def make_vae_train_steps(cfg: VAETrainConfig, vae, disc: PatchDiscriminator):
+    """Returns (generator_step, discriminator_step), both jitted.
+
+    Alternate them per batch like the lightning optimizer_idx switch
+    (reference: train_vae.py via ldm.models.autoencoder.training_step).
+    """
+    g_opt = optax.adam(cfg.learning_rate, b1=cfg.adam_beta1, b2=cfg.adam_beta2)
+    d_opt = optax.adam(cfg.learning_rate, b1=cfg.adam_beta1, b2=cfg.adam_beta2)
+
+    def reconstruct(vae_params, images, key):
+        rec, posterior = vae.apply({"params": vae_params}, images, key)
+        return rec, posterior
+
+    def nll_and_parts(params, images, key):
+        rec, posterior = reconstruct(params["vae"], images, key)
+        rec_loss = cfg.pixel_weight * jnp.abs(images - rec)
+        if cfg.perceptual_weight > 0:
+            rec_loss = jnp.mean(rec_loss) + cfg.perceptual_weight * pyramid_l1(images, rec)
+        else:
+            rec_loss = jnp.mean(rec_loss)
+        nll = rec_loss / jnp.exp(params["logvar"]) + params["logvar"]
+        kl = jnp.mean(posterior.kl())
+        return nll, kl, rec
+
+    def gen_step(state: VAETrainState, images, key):
+        disc_factor = jnp.where(state.step >= cfg.disc_start, 1.0, 0.0)
+
+        def loss_fn(params):
+            nll, kl, rec = nll_and_parts(params, images, key)
+            logits_fake = disc.apply({"params": state.disc_params}, rec)
+            g_loss = -jnp.mean(logits_fake)
+
+            # CompVis adaptive weight: gradient-norm ratio at the last layer.
+            last = params["vae"]["decoder"]["conv_out"]["kernel"]
+
+            def nll_of_last(w):
+                p = {**params, "vae": replace_leaf(params["vae"], w)}
+                n, _, _ = nll_and_parts(p, images, key)
+                return n
+
+            def g_of_last(w):
+                p = {**params, "vae": replace_leaf(params["vae"], w)}
+                _, _, r = nll_and_parts(p, images, key)
+                return -jnp.mean(disc.apply({"params": state.disc_params}, r))
+
+            nll_grad = jax.grad(nll_of_last)(last)
+            g_grad = jax.grad(g_of_last)(last)
+            d_weight = jnp.linalg.norm(nll_grad) / (jnp.linalg.norm(g_grad) + 1e-4)
+            d_weight = jax.lax.stop_gradient(jnp.clip(d_weight, 0.0, 1e4) * cfg.disc_weight)
+
+            total = nll + cfg.kl_weight * kl + d_weight * disc_factor * g_loss
+            return total, {"nll": nll, "kl": kl, "g_loss": g_loss, "d_weight": d_weight}
+
+        def replace_leaf(vae_params, w):
+            dec = dict(vae_params["decoder"])
+            dec["conv_out"] = {**dec["conv_out"], "kernel": w}
+            return {**vae_params, "decoder": dec}
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = g_opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+        return new_state, {"loss": loss, **parts}
+
+    def disc_step(state: VAETrainState, images, key):
+        disc_factor = jnp.where(state.step >= cfg.disc_start, 1.0, 0.0)
+        rec, _ = reconstruct(state.params["vae"], images, key)
+        rec = jax.lax.stop_gradient(rec)
+
+        def loss_fn(disc_params):
+            logits_real = disc.apply({"params": disc_params}, images)
+            logits_fake = disc.apply({"params": disc_params}, rec)
+            # hinge loss
+            d_loss = 0.5 * (jnp.mean(nn.relu(1.0 - logits_real)) + jnp.mean(nn.relu(1.0 + logits_fake)))
+            return disc_factor * d_loss, d_loss
+
+        (loss, d_loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.disc_params)
+        updates, opt_state = d_opt.update(grads, state.disc_opt_state, state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, updates)
+        new_state = state.replace(step=state.step + 1, disc_params=disc_params, disc_opt_state=opt_state)
+        return new_state, {"disc_loss": d_loss}
+
+    return jax.jit(gen_step, donate_argnums=(0,)), jax.jit(disc_step, donate_argnums=(0,))

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Headline benchmark: end-to-end 256x256 mel generation throughput on TPU.
+
+Measures the BASELINE.json north-star: samples/sec/chip for full end-to-end
+generation — 50 DDIM steps through the reference's unconditional UNet
+architecture (scripts/train_unet.py:115-137 config) PLUS batched NNLS +
+Griffin-Lim (32 iterations) audio inversion and host transfer.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 50 (the >=50 samples/sec/chip target, BASELINE.json:5;
+the reference publishes no quantitative numbers of its own — BASELINE.md).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from audio_diffusion_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import numpy as np
+
+from audio_diffusion_tpu.mel import Mel
+from audio_diffusion_tpu.models import UNet2D, unconditional_config
+from audio_diffusion_tpu.pipelines import AudioDiffusionPipeline
+from audio_diffusion_tpu.schedulers import DDIMScheduler
+
+TARGET_SAMPLES_PER_SEC = 50.0  # BASELINE.json:5
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--quick", action="store_true", help="small model smoke run")
+    p.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
+    args = p.parse_args(argv)
+
+    if args.quick:
+        from audio_diffusion_tpu.models import UNetConfig
+
+        cfg = UNetConfig(sample_size=(64, 64), block_out_channels=(32, 64),
+                         down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+                         up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+                         layers_per_block=1, norm_num_groups=8, dtype=args.dtype)
+        mel = Mel(x_res=64, y_res=64, hop_length=512)
+    else:
+        cfg = unconditional_config(sample_size=(args.resolution, args.resolution), dtype=args.dtype)
+        mel = Mel(x_res=args.resolution, y_res=args.resolution, hop_length=512)
+
+    unet = UNet2D(cfg)
+    params = unet.init_params(jax.random.key(0))
+    pipe = AudioDiffusionPipeline(unet, params, mel, DDIMScheduler())
+
+    # Warmup: compiles the denoise scan + Griffin-Lim programs.
+    out = pipe(batch_size=args.batch, steps=args.steps, key=jax.random.key(0))
+    assert len(out.audios) == args.batch
+
+    t0 = time.time()
+    for i in range(args.iters):
+        out = pipe(batch_size=args.batch, steps=args.steps, key=jax.random.key(i + 1))
+        np.asarray(out.audios[0])  # force host materialization
+    dt = time.time() - t0
+
+    samples_per_sec = args.batch * args.iters / dt
+    print(json.dumps({
+        "metric": f"{cfg.sample_hw()[0]}x{cfg.sample_hw()[1]} mel samples/sec/chip, "
+                  f"{args.steps} DDIM steps + Griffin-Lim end-to-end",
+        "value": round(samples_per_sec, 3),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(samples_per_sec / TARGET_SAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+"""Streamlit demo app (reference: streamlit_app.py). Requires
+`pip install streamlit` (not bundled)."""
+
+from io import BytesIO
+
+import numpy as np
+
+try:
+    import streamlit as st
+except ImportError as e:  # pragma: no cover - optional dependency
+    raise SystemExit(
+        "streamlit is not installed in this environment; `pip install streamlit` to run"
+    ) from e
+
+from audio_diffusion_tpu.audio_diffusion import AudioDiffusion
+from audio_diffusion_tpu.ops.audio_io import normalize, write_wav
+
+
+def wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".wav") as fh:
+        write_wav(fh.name, normalize(audio), sample_rate)
+        return open(fh.name, "rb").read()
+
+
+if __name__ == "__main__":
+    st.header("Audio Diffusion (TPU)")
+    st.markdown("Generate audio using TPU-native diffusion over mel spectrograms.")
+
+    model_id = st.selectbox(
+        "Model",
+        [
+            "teticio/audio-diffusion-256",
+            "teticio/audio-diffusion-breaks-256",
+            "teticio/audio-diffusion-instrumental-hiphop-256",
+        ],
+    )
+    if st.button("Generate"):
+        audio_diffusion = AudioDiffusion(model_id=model_id)
+        image, (sample_rate, audio) = audio_diffusion.generate_spectrogram_and_audio()
+        st.image(image, caption="Mel spectrogram")
+        st.audio(wav_bytes(audio, sample_rate), format="audio/wav")
+        loop = AudioDiffusion.loop_it(audio, sample_rate)
+        if loop is not None:
+            st.markdown("Loop")
+            st.audio(wav_bytes(loop, sample_rate), format="audio/wav")

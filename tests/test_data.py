@@ -1,0 +1,172 @@
+"""Data tooling gates (SURVEY.md §7 stage 9): audio_to_images parity behavior,
+dataset loading, batching, encodings, end-to-end smoke training."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from audio_diffusion_tpu.data.dataset import ImageSliceDataset, epoch_batches, load_encodings
+from audio_diffusion_tpu.data.prepare import audio_to_images, find_audio_files
+from audio_diffusion_tpu.ops.audio_io import load_audio, write_wav
+
+from conftest import synth_audio
+
+RES = 32
+HOP = 512
+SLICE = RES * HOP - 1
+
+
+@pytest.fixture(scope="module")
+def audio_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("audio")
+    # two valid files (2 and 1 slices), one silent file, one junk file
+    write_wav(str(d / "a.wav"), synth_audio(2 * SLICE + 50, seed=0), 22050)
+    write_wav(str(d / "b.wav"), synth_audio(SLICE, seed=1), 22050)
+    write_wav(str(d / "silent.wav"), np.zeros(SLICE, dtype=np.float32), 22050)
+    (d / "junk.wav").write_bytes(b"not a wav file")
+    (d / "notes.txt").write_text("ignored")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(audio_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ds") / "data")
+    audio_to_images(audio_dir, out, resolution=(RES, RES), hop_length=HOP)
+    return out
+
+
+def test_find_audio_files(audio_dir):
+    files = find_audio_files(audio_dir)
+    assert len(files) == 4  # all .wav, junk included (skipped later), txt excluded
+    assert all(f.endswith(".wav") for f in files)
+
+
+def test_audio_to_images_builds_dataset(dataset_dir):
+    import datasets
+
+    ds = datasets.load_from_disk(dataset_dir)["train"]
+    # a.wav: 2 slices, b.wav: 1 slice; silent + junk skipped.
+    assert len(ds) == 3
+    assert set(ds.features) == {"image", "audio_file", "slice"}
+    item = ds[0]
+    assert item["image"].size == (RES, RES)
+    assert item["slice"] in (0, 1)
+
+
+def test_silent_slice_quantizes_to_255():
+    """Parity check for the silent-slice convention: ref=max on an all-zero
+    spectrum floors to 0 dB everywhere -> all pixels 255
+    (reference: audio_to_images.py:46-48)."""
+    from audio_diffusion_tpu.mel import Mel
+
+    mel = Mel(x_res=RES, y_res=RES, hop_length=HOP)
+    img = np.asarray(mel.spectrogram_images_from_audio(np.zeros((1, SLICE), np.float32)))[0]
+    assert (img == 255).all()
+
+
+def test_image_slice_dataset_hf(dataset_dir):
+    ds = ImageSliceDataset(dataset_dir)
+    assert len(ds) == 3
+    assert ds.resolution == (RES, RES)
+    item = ds.get(0)
+    assert item["image"].shape == (RES, RES) and item["image"].dtype == np.uint8
+    assert item["audio_file"].endswith(".wav")
+
+
+def test_image_slice_dataset_png_folder(tmp_path):
+    from PIL import Image
+
+    for i in range(4):
+        Image.fromarray(np.full((RES, RES), i * 10, np.uint8)).save(tmp_path / f"{i}.png")
+    ds = ImageSliceDataset(str(tmp_path))
+    assert len(ds) == 4
+    assert ds.resolution == (RES, RES)
+
+
+def test_epoch_batches_shapes_and_normalization(dataset_dir):
+    ds = ImageSliceDataset(dataset_dir)
+    batches = list(epoch_batches(ds, batch_size=1, accum=2, rng=np.random.default_rng(0)))
+    assert len(batches) == 1  # 3 items, group=2, drop_last
+    images, enc = batches[0]
+    assert images.shape == (2, 1, RES, RES, 1)
+    assert enc is None
+    assert images.min() >= -1.0 and images.max() <= 1.0
+
+
+def test_epoch_batches_with_encodings(dataset_dir, tmp_path):
+    ds = ImageSliceDataset(dataset_dir)
+    files = {ds.get(i)["audio_file"] for i in range(len(ds))}
+    enc = {f: np.full((100,), i, np.float32) for i, f in enumerate(sorted(files))}
+    path = str(tmp_path / "enc.p")
+    with open(path, "wb") as fh:
+        pickle.dump(enc, fh)
+    loaded = load_encodings(path)
+    batches = list(epoch_batches(ds, 1, 1, None, loaded))
+    assert len(batches) == 3
+    _, e = batches[0]
+    assert e.shape == (1, 1, 1, 100)
+
+
+def test_wav_io_roundtrip(tmp_path):
+    audio = synth_audio(10000)
+    path = str(tmp_path / "x.wav")
+    write_wav(path, audio, 22050)
+    back = load_audio(path, 22050)
+    assert back.shape == audio.shape
+    np.testing.assert_allclose(back, audio, atol=2e-4)  # 16-bit quantization
+
+
+def test_load_audio_resamples(tmp_path):
+    audio = synth_audio(44100, sr=44100)
+    path = str(tmp_path / "x44.wav")
+    write_wav(path, audio, 44100)
+    back = load_audio(path, 22050)
+    assert abs(len(back) - 22050) <= 2
+
+
+def test_smoke_training_run(dataset_dir, tmp_path):
+    """Full training loop smoke (reference notebook train_model.ipynb analog):
+    a few steps on the tiny dataset through the real entry point."""
+    from audio_diffusion_tpu.training.loop import RunConfig, run_training
+    from audio_diffusion_tpu.training.train_unet import TrainConfig
+    from audio_diffusion_tpu.pipelines import AudioDiffusionPipeline
+
+    out = str(tmp_path / "model")
+    run = RunConfig(
+        dataset=dataset_dir, output_dir=out, num_epochs=2, train_batch_size=1,
+        eval_batch_size=1, save_images_epochs=1000, save_model_epochs=1,
+        scheduler="ddim", num_train_steps=100, hop_length=HOP, max_steps=4, log_every=1,
+    )
+    # Tiny net via monkeypatched default config would be heavy; instead rely on
+    # data-sized resolution (32x32) with the reference architecture being too
+    # big for CI — so shrink by training from a tiny from_pretrained pipeline.
+    import jax
+    from audio_diffusion_tpu.mel import Mel
+    from audio_diffusion_tpu.models import UNet2D, UNetConfig
+    from audio_diffusion_tpu.schedulers import DDIMScheduler, SchedulerConfig
+
+    cfg = UNetConfig(sample_size=(RES, RES), block_out_channels=(8, 16),
+                     down_block_types=("DownBlock2D", "DownBlock2D"),
+                     up_block_types=("UpBlock2D", "UpBlock2D"),
+                     layers_per_block=1, norm_num_groups=4)
+    unet = UNet2D(cfg)
+    seed_pipe = AudioDiffusionPipeline(
+        unet, unet.init_params(jax.random.key(0)),
+        Mel(x_res=RES, y_res=RES, hop_length=HOP),
+        DDIMScheduler(SchedulerConfig(num_train_timesteps=100)),
+    )
+    seed_dir = str(tmp_path / "seed")
+    seed_pipe.save_pretrained(seed_dir)
+    run.from_pretrained = seed_dir
+
+    result = run_training(run, TrainConfig(lr_warmup_steps=2, use_ema=True))
+    assert result["steps"] == 4
+    assert np.isfinite(result["loss"])
+    # The trained pipeline was saved and loads.
+    pipe = AudioDiffusionPipeline.from_pretrained(out)
+    raw = pipe(batch_size=1, steps=2, return_images_only=True)
+    assert raw.shape == (1, RES, RES)
+    # Orbax checkpoint exists for resume.
+    assert os.path.isdir(os.path.join(out, "checkpoints"))

@@ -1,0 +1,265 @@
+"""Torch->Flax weight-import gates: functional equivalence of every layout
+rule against torch itself, plus a full AudioEncoder numeric parity check."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+from flax import linen as fnn
+
+from audio_diffusion_tpu.utils.torch_import import (
+    _SD,
+    conv1x1_as_dense,
+    conv_kernel,
+    convert_audio_encoder,
+    convert_unet,
+    dense_kernel,
+    unet_config_from_diffusers,
+)
+
+
+def test_conv_kernel_functional_equivalence():
+    torch_conv = nn.Conv2d(3, 8, 3, padding=1)
+    x = np.random.default_rng(0).standard_normal((2, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        golden = torch_conv(torch.from_numpy(x)).numpy()
+
+    flax_conv = fnn.Conv(8, (3, 3), padding=1)
+    params = {
+        "kernel": jnp.asarray(conv_kernel(torch_conv.weight.detach().numpy())),
+        "bias": jnp.asarray(torch_conv.bias.detach().numpy()),
+    }
+    ours = flax_conv.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), golden, atol=1e-5)
+
+
+def test_depthwise_conv_equivalence():
+    torch_conv = nn.Conv2d(4, 4, 3, groups=4, bias=False, padding=1)
+    x = np.random.default_rng(1).standard_normal((1, 4, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        golden = torch_conv(torch.from_numpy(x)).numpy()
+    flax_conv = fnn.Conv(4, (3, 3), padding=1, feature_group_count=4, use_bias=False)
+    params = {"kernel": jnp.asarray(conv_kernel(torch_conv.weight.detach().numpy()))}
+    ours = flax_conv.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), golden, atol=1e-5)
+
+
+def test_dense_and_conv1x1_projection_equivalence():
+    lin = nn.Linear(6, 10)
+    x = np.random.default_rng(2).standard_normal((5, 6)).astype(np.float32)
+    with torch.no_grad():
+        golden = lin(torch.from_numpy(x)).numpy()
+    dense = fnn.Dense(10)
+    params = {"kernel": jnp.asarray(dense_kernel(lin.weight.detach().numpy())),
+              "bias": jnp.asarray(lin.bias.detach().numpy())}
+    ours = dense.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), golden, atol=1e-5)
+
+    # A 1x1 conv applied tokenwise == Dense with the squeezed kernel.
+    conv = nn.Conv2d(6, 10, 1)
+    with torch.no_grad():
+        golden2 = conv(torch.from_numpy(x[:, :, None, None])).numpy()[:, :, 0, 0]
+    params2 = {"kernel": jnp.asarray(conv1x1_as_dense(conv.weight.detach().numpy())),
+               "bias": jnp.asarray(conv.bias.detach().numpy())}
+    ours2 = dense.apply({"params": params2}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours2), golden2, atol=1e-5)
+
+
+def test_old_attention_block_aliases():
+    sd = _SD({"attn.query.weight": np.eye(4, dtype=np.float32),
+              "attn.proj_attn.weight": np.eye(4, dtype=np.float32),
+              "attn.proj_attn.bias": np.zeros(4, np.float32)})
+    scoped = sd.scope("attn")
+    assert scoped.has("to_q.weight")
+    assert scoped.get("to_q.weight").shape == (4, 4)
+    assert scoped.has("to_out.0.bias")
+
+
+# ---------------------------------------------------------- AudioEncoder e2e
+
+class _TorchSepConv(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.depthwise = nn.Conv2d(cin, cin, 3, groups=cin, bias=False, padding=1)
+        self.pointwise = nn.Conv2d(cin, cout, 1, bias=True)
+
+    def forward(self, x):
+        return self.pointwise(self.depthwise(x))
+
+
+class _TorchConvBlock(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.sep_conv = _TorchSepConv(cin, cout)
+        self.batch_norm = nn.BatchNorm2d(cout, eps=1e-3, momentum=0.01)
+
+    def forward(self, x):
+        x = F.leaky_relu(self.sep_conv(x), 0.2)
+        x = self.batch_norm(x)
+        return F.max_pool2d(x, 2)
+
+
+class _TorchAudioEncoder(nn.Module):
+    """Torch twin of the documented reference architecture
+    (reference: audio_encoder.py:62-82), built for parity testing."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv_blocks = nn.ModuleList([_TorchConvBlock(1, 32), _TorchConvBlock(32, 64), _TorchConvBlock(64, 128)])
+        self.dense_block = nn.ModuleDict({
+            "dense": nn.Linear(41472, 1024),
+            "batch_norm": nn.BatchNorm1d(1024, eps=1e-3, momentum=0.01),
+        })
+        self.embedding = nn.Linear(1024, 100)
+
+    def forward(self, x):
+        for blk in self.conv_blocks:
+            x = blk(x)
+        x = torch.flatten(x.permute(0, 2, 3, 1), 1)
+        x = F.leaky_relu(self.dense_block["dense"](x), 0.2)
+        x = self.dense_block["batch_norm"](x)
+        return self.embedding(x)
+
+
+def test_audio_encoder_torch_parity():
+    """Full-network numeric parity: convert a torch AudioEncoder's weights and
+    compare eval-mode outputs (validates depthwise convs, batchnorm stats,
+    flatten order, dense layers all at once)."""
+    torch.manual_seed(0)
+    tmodel = _TorchAudioEncoder().eval()
+    # Perturb running stats so parity actually exercises them.
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, (nn.BatchNorm1d, nn.BatchNorm2d)):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.8, 1.3)
+
+    x = np.random.default_rng(3).standard_normal((2, 1, 96, 216)).astype(np.float32)
+    with torch.no_grad():
+        golden = tmodel(torch.from_numpy(x)).numpy()
+
+    from audio_diffusion_tpu.models.audio_encoder import AudioEncoder
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = convert_audio_encoder(sd)
+    encoder = AudioEncoder()
+    ours = encoder.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+    )
+    np.testing.assert_allclose(np.asarray(ours), golden, atol=2e-3)
+
+
+# ------------------------------------------------------------- UNet structure
+
+def _emit_torch_keys_from_template(template, config):
+    """Inverse-enumerate a diffusers-style state dict with correct shapes from
+    our module template (structural coverage check for convert_unet)."""
+    sd = {}
+
+    def put_conv(tname, p):
+        sd[f"{tname}.weight"] = np.transpose(p["kernel"], (3, 2, 0, 1)).copy()
+        if "bias" in p:
+            sd[f"{tname}.bias"] = np.asarray(p["bias"])
+
+    def put_dense(tname, p):
+        sd[f"{tname}.weight"] = np.transpose(p["kernel"], (1, 0)).copy()
+        if "bias" in p:
+            sd[f"{tname}.bias"] = np.asarray(p["bias"])
+
+    def put_norm(tname, p):
+        sd[f"{tname}.weight"] = np.asarray(p["scale"])
+        sd[f"{tname}.bias"] = np.asarray(p["bias"])
+
+    def put_resnet(tname, p):
+        put_norm(f"{tname}.norm1", p["norm1"])
+        put_conv(f"{tname}.conv1", p["conv1"])
+        if "time_emb_proj" in p:
+            put_dense(f"{tname}.time_emb_proj", p["time_emb_proj"])
+        put_norm(f"{tname}.norm2", p["norm2"])
+        put_conv(f"{tname}.conv2", p["conv2"])
+        if "conv_shortcut" in p:
+            put_conv(f"{tname}.conv_shortcut", p["conv_shortcut"])
+
+    def put_attn(tname, p):
+        put_norm(f"{tname}.group_norm", p["group_norm"])
+        for k in ("to_q", "to_k", "to_v"):
+            put_dense(f"{tname}.{k}", p[k])
+        put_dense(f"{tname}.to_out.0", p["to_out"])
+
+    put_dense("time_embedding.linear_1", template["time_embedding"]["linear_1"])
+    put_dense("time_embedding.linear_2", template["time_embedding"]["linear_2"])
+    put_conv("conv_in", template["conv_in"])
+    put_norm("conv_norm_out", template["conv_norm_out"])
+    put_conv("conv_out", template["conv_out"])
+    n = len(config.block_out_channels)
+    for i, bt in enumerate(config.down_block_types):
+        for j in range(config.layers_per_block):
+            put_resnet(f"down_blocks.{i}.resnets.{j}", template[f"down_{i}_res_{j}"])
+            if bt == "AttnDownBlock2D":
+                put_attn(f"down_blocks.{i}.attentions.{j}", template[f"down_{i}_attn_{j}"])
+        if i != n - 1:
+            put_conv(f"down_blocks.{i}.downsamplers.0.conv", template[f"down_{i}_downsample"]["conv"])
+    put_resnet("mid_block.resnets.0", template["mid_res_0"])
+    put_resnet("mid_block.resnets.1", template["mid_res_1"])
+    put_attn("mid_block.attentions.0", template["mid_attn"])
+    for i, bt in enumerate(config.up_block_types):
+        for j in range(config.layers_per_block + 1):
+            put_resnet(f"up_blocks.{i}.resnets.{j}", template[f"up_{i}_res_{j}"])
+            if bt == "AttnUpBlock2D":
+                put_attn(f"up_blocks.{i}.attentions.{j}", template[f"up_{i}_attn_{j}"])
+        if i != n - 1:
+            put_conv(f"up_blocks.{i}.upsamplers.0.conv", template[f"up_{i}_upsample"]["conv"])
+    return sd
+
+
+def test_convert_unet_structure_roundtrip():
+    from audio_diffusion_tpu.models import UNet2D, UNetConfig
+
+    cfg = UNetConfig(
+        sample_size=(16, 16),
+        block_out_channels=(8, 16),
+        down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+        up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+        layers_per_block=2,
+        norm_num_groups=4,
+        attention_head_dim=4,
+    )
+    unet = UNet2D(cfg)
+    template = jax.tree_util.tree_map(np.asarray, unet.init_params(jax.random.key(0)))
+    sd = _emit_torch_keys_from_template(template, cfg)
+    converted = convert_unet(sd, cfg)
+
+    t_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(template)[0]}
+    c_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(converted)[0]}
+    assert t_paths == c_paths
+    # Numeric roundtrip: converting back and forth preserves values.
+    np.testing.assert_allclose(
+        converted["conv_in"]["kernel"], template["conv_in"]["kernel"], atol=0
+    )
+    np.testing.assert_allclose(
+        converted["down_1_attn_0"]["to_q"]["kernel"], template["down_1_attn_0"]["to_q"]["kernel"], atol=0
+    )
+
+
+def test_unet_config_from_diffusers_json():
+    cfg = unet_config_from_diffusers({
+        "_class_name": "UNet2DModel",
+        "sample_size": 256,
+        "in_channels": 1,
+        "out_channels": 1,
+        "block_out_channels": [128, 128, 256, 256, 512, 512],
+        "down_block_types": ["DownBlock2D"] * 4 + ["AttnDownBlock2D", "DownBlock2D"],
+        "up_block_types": ["UpBlock2D", "AttnUpBlock2D"] + ["UpBlock2D"] * 4,
+        "layers_per_block": 2,
+        "attention_head_dim": None,
+        "freq_shift": 1,
+        "flip_sin_to_cos": False,
+    })
+    assert cfg.sample_size == (256, 256)
+    assert cfg.attention_head_dim == 8  # None -> diffusers default
+    assert cfg.freq_shift == 1 and cfg.flip_sin_to_cos is False
+    assert not cfg.is_conditional

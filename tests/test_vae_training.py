@@ -1,0 +1,100 @@
+"""Adversarial VAE training gates (SURVEY.md §7 stage 7 hard part)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_diffusion_tpu.models.vae import AutoencoderKL, VAEConfig
+from audio_diffusion_tpu.training.train_vae import (
+    PatchDiscriminator,
+    VAETrainConfig,
+    init_vae_train_state,
+    make_vae_train_steps,
+    pyramid_l1,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    vae_cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                        latent_channels=1, sample_size=16, norm_num_groups=4)
+    vae = AutoencoderKL(vae_cfg)
+    vae_params = vae.init_params(jax.random.key(0), sample_hw=(16, 16))
+    cfg = VAETrainConfig(learning_rate=1e-3, disc_start=2, disc_channels=8, disc_layers=2)
+    state, disc = init_vae_train_state(cfg, vae, vae_params, (16, 16))
+    steps = make_vae_train_steps(cfg, vae, disc)
+    return vae, cfg, state, disc, steps
+
+
+def test_discriminator_output_shape():
+    disc = PatchDiscriminator(base_channels=8, n_layers=2)
+    params = disc.init(jax.random.key(0), jnp.zeros((2, 16, 16, 1)))["params"]
+    out = disc.apply({"params": params}, jnp.zeros((2, 16, 16, 1)))
+    assert out.shape[0] == 2 and out.shape[-1] == 1
+    assert out.shape[1] < 16  # patch logits, downsampled
+
+
+def test_pyramid_l1_zero_for_identical():
+    x = jnp.ones((1, 16, 16, 1))
+    assert float(pyramid_l1(x, x)) == 0.0
+    assert float(pyramid_l1(x, x * 0)) > 0.0
+
+
+def test_gen_and_disc_steps_alternate(setup):
+    vae, cfg, state, disc, (gen_step, disc_step) = setup
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(-1, 1, (4, 16, 16, 1)).astype(np.float32))
+
+    metrics_hist = []
+    for i in range(6):
+        key = jax.random.key(i)
+        if i % 2 == 0:
+            state, m = gen_step(state, images, key)
+        else:
+            state, m = disc_step(state, images, key)
+        metrics_hist.append({k: float(v) for k, v in m.items()})
+    assert int(state.step) == 6
+    gen_metrics = metrics_hist[0]
+    assert np.isfinite(gen_metrics["loss"]) and np.isfinite(gen_metrics["kl"])
+    assert np.isfinite(gen_metrics["d_weight"])
+    disc_metrics = metrics_hist[1]
+    assert np.isfinite(disc_metrics["disc_loss"])
+
+
+def test_reconstruction_improves():
+    vae_cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                        latent_channels=2, sample_size=16, norm_num_groups=4)
+    vae = AutoencoderKL(vae_cfg)
+    vae_params = vae.init_params(jax.random.key(0), sample_hw=(16, 16))
+    # Disable the adversarial term (disc_start huge) to isolate reconstruction.
+    cfg = VAETrainConfig(learning_rate=3e-3, disc_start=10**9, disc_channels=8, disc_layers=2)
+    state, disc = init_vae_train_state(cfg, vae, vae_params, (16, 16))
+    gen_step, _ = make_vae_train_steps(cfg, vae, disc)
+
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.uniform(-0.8, 0.8, (8, 16, 16, 1)).astype(np.float32))
+    losses = []
+    for i in range(25):
+        state, m = gen_step(state, images, jax.random.key(0))
+        losses.append(float(m["nll"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), f"nll did not improve: {losses[:3]}...{losses[-3:]}"
+
+
+def test_disc_factor_gates_before_start(setup):
+    """Before disc_start, the discriminator loss must be zero-weighted."""
+    vae, _, _, disc, _ = setup
+    vae_cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                        latent_channels=1, sample_size=16, norm_num_groups=4)
+    cfg = VAETrainConfig(learning_rate=1e-3, disc_start=1000, disc_channels=8, disc_layers=2)
+    vae2 = AutoencoderKL(vae_cfg)
+    params = vae2.init_params(jax.random.key(0), sample_hw=(16, 16))
+    state, disc2 = init_vae_train_state(cfg, vae2, params, (16, 16))
+    _, disc_step = make_vae_train_steps(cfg, vae2, disc2)
+    images = jnp.zeros((2, 16, 16, 1))
+    # Host copies first: the step donates the state's device buffers.
+    before = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.disc_params)]
+    state, _ = disc_step(state, images, jax.random.key(0))
+    after = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.disc_params)]
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(a, b)
