@@ -63,8 +63,18 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
 
 
 def load_audio(path: str, sample_rate: int = 22050, mono: bool = True) -> np.ndarray:
-    """Decode an audio file to float32 mono at ``sample_rate`` (librosa.load parity)."""
+    """Decode an audio file to float32 mono at ``sample_rate`` (librosa.load parity).
+
+    Uses the native C++ decoder+resampler (native/audioio.cpp) when built;
+    falls back to scipy otherwise.
+    """
     ext = os.path.splitext(path)[1].lower()
+    if ext == ".wav" and mono:
+        from ..data import native_audio
+
+        native = native_audio.load_wav(path, sample_rate)
+        if native is not None:
+            return native
     if ext == ".wav":
         audio, sr = _read_wav(path)
     elif shutil.which("ffmpeg"):
