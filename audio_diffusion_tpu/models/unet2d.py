@@ -63,6 +63,8 @@ class UNetConfig(ConfigMixin):
     flip_sin_to_cos: bool = True
     freq_shift: int = 0
     dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
+    norm_dtype: str = "float32"  # GroupNorm/LayerNorm compute dtype; bf16 halves
+    # the HBM traffic of the memory-bound normalization passes at 256x256
     remat: bool = False
 
     config_name = "config.json"
@@ -74,6 +76,10 @@ class UNetConfig(ConfigMixin):
     @property
     def compute_dtype(self):
         return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+    @property
+    def norm_compute_dtype(self):
+        return jnp.bfloat16 if self.norm_dtype == "bfloat16" else jnp.float32
 
     def sample_hw(self) -> Tuple[int, int]:
         s = self.sample_size
@@ -144,18 +150,19 @@ class ResnetBlock2D(nn.Module):
     groups: int = 32
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb):
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
 
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
 
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
 
@@ -172,13 +179,14 @@ class SelfAttention2D(nn.Module):
     groups: int = 32
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         num_heads = max(C // self.head_dim, 1)
         residual = x
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="group_norm")(x)
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype, name="group_norm")(x)
         h = h.reshape(B, H * W, C)
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
@@ -290,7 +298,8 @@ class Upsample2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        # Nearest-neighbor x2 as broadcast+reshape (cheaper than generic resize).
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C)).reshape(B, H * 2, W * 2, C)
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 
@@ -318,6 +327,7 @@ class UNet2D(nn.Module):
         """
         cfg = self.config
         dtype = cfg.compute_dtype
+        ndt = cfg.norm_compute_dtype
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
         if cfg.is_conditional and encoder_hidden_states is None:
@@ -342,10 +352,10 @@ class UNet2D(nn.Module):
             out_ch = cfg.block_out_channels[i]
             is_final = i == len(cfg.block_out_channels) - 1
             for j in range(cfg.layers_per_block):
-                x = Res(out_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, name=f"down_{i}_res_{j}")(x, temb)
+                x = Res(out_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, name=f"down_{i}_res_{j}")(x, temb)
                 if block_type == "AttnDownBlock2D":
                     heads, hd = self._heads(out_ch)
-                    x = Attn(hd, cfg.norm_num_groups, cfg.norm_eps, dtype, name=f"down_{i}_attn_{j}")(x)
+                    x = Attn(hd, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, name=f"down_{i}_attn_{j}")(x)
                 elif block_type == "CrossAttnDownBlock2D":
                     heads, hd = self._heads(out_ch)
                     x = Xfmr(heads, hd, cfg.norm_num_groups, cfg.norm_eps, dtype, name=f"down_{i}_xattn_{j}")(
@@ -358,15 +368,15 @@ class UNet2D(nn.Module):
 
         # ----------------------------------------------------------- mid block
         mid_ch = cfg.block_out_channels[-1]
-        x = Res(mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, name="mid_res_0")(x, temb)
+        x = Res(mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, name="mid_res_0")(x, temb)
         heads, hd = self._heads(mid_ch)
         if cfg.is_conditional:
             x = Xfmr(heads, hd, cfg.norm_num_groups, cfg.norm_eps, dtype, name="mid_xattn")(
                 x, encoder_hidden_states
             )
         else:
-            x = Attn(hd, cfg.norm_num_groups, cfg.norm_eps, dtype, name="mid_attn")(x)
-        x = Res(mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, name="mid_res_1")(x, temb)
+            x = Attn(hd, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, name="mid_attn")(x)
+        x = Res(mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, name="mid_res_1")(x, temb)
 
         # ------------------------------------------------------------ up path
         reversed_channels = tuple(reversed(cfg.block_out_channels))
@@ -376,10 +386,10 @@ class UNet2D(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = Res(out_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, name=f"up_{i}_res_{j}")(x, temb)
+                x = Res(out_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, name=f"up_{i}_res_{j}")(x, temb)
                 if block_type == "AttnUpBlock2D":
                     heads, hd = self._heads(out_ch)
-                    x = Attn(hd, cfg.norm_num_groups, cfg.norm_eps, dtype, name=f"up_{i}_attn_{j}")(x)
+                    x = Attn(hd, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, name=f"up_{i}_attn_{j}")(x)
                 elif block_type == "CrossAttnUpBlock2D":
                     heads, hd = self._heads(out_ch)
                     x = Xfmr(heads, hd, cfg.norm_num_groups, cfg.norm_eps, dtype, name=f"up_{i}_xattn_{j}")(
@@ -389,7 +399,7 @@ class UNet2D(nn.Module):
                 x = Upsample2D(out_ch, dtype, name=f"up_{i}_upsample")(x)
 
         # ---------------------------------------------------------------- out
-        x = nn.GroupNorm(cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=jnp.float32, name="conv_norm_out")(x)
+        x = nn.GroupNorm(cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=ndt, name="conv_norm_out")(x)
         x = nn.silu(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32, name="conv_out")(x)
         return x.astype(jnp.float32)

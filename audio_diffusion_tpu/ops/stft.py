@@ -44,9 +44,24 @@ def num_frames(num_samples: int, n_fft: int, hop_length: int) -> int:
 
 
 def frame(audio: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
-    """Center-pad and frame a batch of signals: (B, T) -> (B, n_frames, n_fft)."""
+    """Center-pad and frame a batch of signals: (B, T) -> (B, n_frames, n_fft).
+
+    When ``hop_length`` divides ``n_fft`` (the reference's 2048/512 case),
+    framing is R = n_fft/hop stacked contiguous slices of a hop-chunked view —
+    no gather, so XLA lowers it to plain copies that fuse with the window
+    multiply. Falls back to a static-index gather otherwise.
+    """
     pad = n_fft // 2
     x = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)])
+    n_frames = num_frames(audio.shape[-1], n_fft, hop_length)
+    if n_fft % hop_length == 0:
+        r = n_fft // hop_length
+        need = (n_frames + r - 1) * hop_length
+        if x.shape[-1] < need:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, need - x.shape[-1])])
+        chunks = x[..., :need].reshape(*x.shape[:-1], -1, hop_length)  # (..., n_chunks, hop)
+        parts = [chunks[..., i : i + n_frames, :] for i in range(r)]
+        return jnp.concatenate(parts, axis=-1)
     idx = jnp.asarray(_frame_indices(audio.shape[-1], n_fft, hop_length))
     return jnp.take(x, idx, axis=-1)
 
@@ -96,12 +111,22 @@ def istft(
     pad = n_fft // 2
     full = (n_frames - 1) * hop_length + n_fft
     starts = np.arange(n_frames, dtype=np.int32) * hop_length
-    idx = jnp.asarray(starts[:, None] + np.arange(n_fft, dtype=np.int32)[None, :])
 
     batch_shape = spec.shape[:-2]
     flat = frames.reshape((-1, n_frames, n_fft))
-    out = jnp.zeros((flat.shape[0], full), dtype=frames.dtype)
-    out = out.at[:, idx.reshape(-1)].add(flat.reshape(flat.shape[0], -1))
+    if n_fft % hop_length == 0:
+        # Overlap-add as R shifted adds of contiguous hop-chunks (no scatter):
+        # frame f's chunk r lands at output chunk f + r.
+        r_factor = n_fft // hop_length
+        chunked = flat.reshape(flat.shape[0], n_frames, r_factor, hop_length)
+        acc = jnp.zeros((flat.shape[0], n_frames + r_factor - 1, hop_length), dtype=frames.dtype)
+        for r in range(r_factor):
+            acc = acc.at[:, r : r + n_frames, :].add(chunked[:, :, r, :])
+        out = acc.reshape(flat.shape[0], -1)[:, :full]
+    else:
+        idx = jnp.asarray(starts[:, None] + np.arange(n_fft, dtype=np.int32)[None, :])
+        out = jnp.zeros((flat.shape[0], full), dtype=frames.dtype)
+        out = out.at[:, idx.reshape(-1)].add(flat.reshape(flat.shape[0], -1))
 
     # Squared-window sum normalization (librosa.filters.window_sumsquare), with
     # librosa's guard: only divide where the sum exceeds float tiny.

@@ -163,7 +163,14 @@ class AudioDiffusionPipeline:
         h, w = self.sample_hw
         in_ch = self.unet.config.in_channels
         if noise is None:
-            noise = jax.random.normal(noise_key, (batch_size, h, w, in_ch), dtype=jnp.float32)
+            # One fused jitted program (noise gen is otherwise a separate
+            # dispatch + device sync on the hot path).
+            if "noise" not in self._compiled:
+                self._compiled["noise"] = jax.jit(
+                    lambda k, s: jax.random.normal(k, s, dtype=jnp.float32),
+                    static_argnums=(1,),
+                )
+            noise = self._compiled["noise"](noise_key, (batch_size, h, w, in_ch))
         else:
             noise = jnp.asarray(noise, dtype=jnp.float32)
             if noise.shape[-1] != in_ch and noise.shape[1] == in_ch:
@@ -208,21 +215,28 @@ class AudioDiffusionPipeline:
 
         # [-1,1] -> uint8, exact reference math incl. half-to-even rounding
         # (pipeline:192-194; jnp.round == torch.round == banker's rounding).
-        images = jnp.clip(images / 2 + 0.5, 0.0, 1.0)
-        raw = np.asarray(jnp.round(images * 255).astype(jnp.uint8))
-        if raw.shape[-1] == 1:
-            raw = raw[..., 0]
-        else:  # RGB VAE output -> luminance, like PIL convert("L") (pipeline:198)
-            raw = np.asarray(
-                np.round(raw[..., 0] * 0.299 + raw[..., 1] * 0.587 + raw[..., 2] * 0.114)
-            ).astype(np.uint8)
+        # Stays on device: Griffin-Lim consumes it without a host round-trip.
+        if "postprocess" not in self._compiled:
+            @jax.jit
+            def _post(x):
+                x = jnp.clip(x / 2 + 0.5, 0.0, 1.0)
+                x = jnp.round(x * 255).astype(jnp.uint8)
+                if x.shape[-1] == 1:
+                    return x[..., 0]
+                # RGB VAE output -> luminance, like PIL convert("L") (pipeline:198)
+                lum = x[..., 0] * 0.299 + x[..., 1] * 0.587 + x[..., 2] * 0.114
+                return jnp.round(lum).astype(jnp.uint8)
+
+            self._compiled["postprocess"] = _post
+        raw_dev = self._compiled["postprocess"](images)
 
         if return_images_only:
-            return raw
+            return np.asarray(raw_dev)
 
+        audios_dev = self.mel.images_to_audio(raw_dev, key=gl_key)
+        raw = np.asarray(raw_dev)
         pil_images = [Image.fromarray(img) for img in raw]
-        audios_arr = np.asarray(self.mel.images_to_audio(raw, key=gl_key))
-        audios = [a for a in audios_arr]
+        audios = [a for a in np.asarray(audios_dev)]
 
         if not return_dict:
             return pil_images, (self.mel.get_sample_rate(), audios)
