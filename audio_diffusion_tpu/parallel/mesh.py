@@ -21,6 +21,33 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host initialization: call once per host before building a mesh on
+    a TPU pod slice (SURVEY.md §5.8 — replaces the reference's torch.distributed
+    rendezvous). On single-host runs (or TPU VMs with auto-detected topology)
+    all arguments can stay None. Returns this host's process index."""
+    import jax
+
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address, num_processes, process_id)
+    else:
+        try:
+            jax.distributed.initialize()
+        except Exception:  # single-process / unsupported backend: fine
+            pass
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    """Rank-0 gating for logging/checkpointing (the reference's
+    ``accelerator.is_main_process``, train_unet.py:199,286)."""
+    import jax
+
+    return jax.process_index() == 0
+
+
 def make_mesh(num_data: Optional[int] = None, num_model: int = 1, devices=None) -> Mesh:
     """Create a ('data', 'model') mesh over all (or given) devices."""
     devices = np.asarray(devices if devices is not None else jax.devices())

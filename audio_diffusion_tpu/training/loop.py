@@ -23,7 +23,7 @@ import numpy as np
 from ..data.dataset import ImageSliceDataset, epoch_batches, load_encodings
 from ..mel import Mel
 from ..models.unet2d import UNet2D, UNetConfig, conditional_config, unconditional_config
-from ..parallel.mesh import make_mesh
+from ..parallel.mesh import is_main_process, make_mesh
 from ..pipelines.pipeline import AudioDiffusionPipeline
 from ..schedulers import DDIMScheduler, DDPMScheduler, SchedulerConfig
 from .checkpoint import make_manager, restore_train_state, save_train_state
@@ -140,12 +140,13 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
     img_sh, enc_sh = batch_shardings(mesh)
 
     writer = None
-    try:
-        from tensorboardX import SummaryWriter
+    if is_main_process():  # rank-0 gating (reference: train_unet.py:199,286)
+        try:
+            from tensorboardX import SummaryWriter
 
-        writer = SummaryWriter(os.path.join(run.output_dir, "logs"))
-    except ImportError:
-        logger.warning("tensorboardX unavailable; metrics go to stdout only")
+            writer = SummaryWriter(os.path.join(run.output_dir, "logs"))
+        except ImportError:
+            logger.warning("tensorboardX unavailable; metrics go to stdout only")
 
     mel = Mel(x_res=resolution[1], y_res=resolution[0], hop_length=run.hop_length,
               sample_rate=run.sample_rate, n_fft=run.n_fft)
@@ -187,7 +188,8 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
             eval_params = state.ema_params if train.use_ema else state.params
             eval_pipe = AudioDiffusionPipeline(unet, eval_params, mel, scheduler, vqvae, vqvae_params)
 
-        if eval_pipe and ((epoch + 1) % run.save_model_epochs == 0 or epoch == run.num_epochs - 1 or done):
+        if eval_pipe and is_main_process() and (
+                (epoch + 1) % run.save_model_epochs == 0 or epoch == run.num_epochs - 1 or done):
             eval_pipe.save_pretrained(run.output_dir)
             save_train_state(manager, global_step, jax.device_get(state))
 

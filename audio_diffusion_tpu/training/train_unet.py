@@ -38,6 +38,7 @@ from ..pipelines.pipeline import LATENT_SCALE
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     learning_rate: float = 1e-4
+    lr_schedule: str = "cosine"  # cosine | linear | constant (reference --lr_scheduler)
     lr_warmup_steps: int = 500
     total_steps: int = 100_000
     adam_beta1: float = 0.95
@@ -61,13 +62,24 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_lr_schedule(cfg: TrainConfig):
-    return optax.warmup_cosine_decay_schedule(
-        init_value=0.0,
-        peak_value=cfg.learning_rate,
-        warmup_steps=cfg.lr_warmup_steps,
-        decay_steps=max(cfg.total_steps, cfg.lr_warmup_steps + 1),
-        end_value=0.0,
-    )
+    decay_steps = max(cfg.total_steps, cfg.lr_warmup_steps + 1)
+    if cfg.lr_schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, cfg.lr_warmup_steps, decay_steps, end_value=0.0
+        )
+    if cfg.lr_schedule == "linear":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.learning_rate, cfg.lr_warmup_steps),
+             optax.linear_schedule(cfg.learning_rate, 0.0, decay_steps - cfg.lr_warmup_steps)],
+            [cfg.lr_warmup_steps],
+        )
+    if cfg.lr_schedule == "constant":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.learning_rate, cfg.lr_warmup_steps),
+             optax.constant_schedule(cfg.learning_rate)],
+            [cfg.lr_warmup_steps],
+        )
+    raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:

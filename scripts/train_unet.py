@@ -36,6 +36,7 @@ def parse_args(argv=None):
     p.add_argument("--save_model_epochs", type=int, default=10)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--lr_scheduler", type=str, default="cosine", choices=["cosine", "linear", "constant"])
     p.add_argument("--lr_warmup_steps", type=int, default=500)
     p.add_argument("--adam_beta1", type=float, default=0.95)
     p.add_argument("--adam_beta2", type=float, default=0.999)
@@ -63,10 +64,14 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    import os
+
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     a = parse_args(argv)
+    # SageMaker parity: SM_MODEL_DIR overrides (reference: train_unet.py:42).
+    output_dir = os.environ.get("SM_MODEL_DIR") or a.output_dir
     run = RunConfig(
-        dataset=a.dataset, output_dir=a.output_dir, num_epochs=a.num_epochs,
+        dataset=a.dataset, output_dir=output_dir, num_epochs=a.num_epochs,
         train_batch_size=a.train_batch_size, eval_batch_size=a.eval_batch_size,
         save_images_epochs=a.save_images_epochs, save_model_epochs=a.save_model_epochs,
         scheduler=a.scheduler, num_train_steps=a.num_train_steps,
@@ -76,7 +81,7 @@ def main(argv=None):
         seed=a.seed, max_steps=a.max_steps,
     )
     train = TrainConfig(
-        learning_rate=a.learning_rate, lr_warmup_steps=a.lr_warmup_steps,
+        learning_rate=a.learning_rate, lr_schedule=a.lr_scheduler, lr_warmup_steps=a.lr_warmup_steps,
         adam_beta1=a.adam_beta1, adam_beta2=a.adam_beta2,
         adam_weight_decay=a.adam_weight_decay, adam_epsilon=a.adam_epsilon,
         gradient_accumulation_steps=a.gradient_accumulation_steps,
