@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.pallas_groupnorm import fused_group_norm_silu
 from ..utils.config import ConfigMixin
 
 
@@ -65,6 +66,9 @@ class UNetConfig(ConfigMixin):
     dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
     norm_dtype: str = "float32"  # GroupNorm/LayerNorm compute dtype; bf16 halves
     # the HBM traffic of the memory-bound normalization passes at 256x256
+    fused_groupnorm: bool = False  # Pallas fused GroupNorm+SiLU (bf16 I/O,
+    # f32 stats) on the resnet norms — inference-time optimization; the Pallas
+    # path has no VJP, so leave False for training
     remat: bool = False
 
     config_name = "config.json"
@@ -145,25 +149,48 @@ class TimestepEmbedding(nn.Module):
 
 # --------------------------------------------------------------------- blocks
 
+class FusedGroupNormSiLU(nn.Module):
+    """GroupNorm+SiLU via the Pallas kernel; parameter tree matches
+    nn.GroupNorm (scale/bias) so checkpoints are interchangeable."""
+
+    groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if jax.default_backend() != "tpu" and "axon" not in str(jax.devices()[0]).lower():
+            from ..ops.pallas_groupnorm import _reference
+
+            return _reference(x, scale, bias, self.groups, self.eps)
+        return fused_group_norm_silu(x, scale, bias, self.groups, self.eps)
+
+
 class ResnetBlock2D(nn.Module):
     out_channels: int
     groups: int = 32
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype = jnp.float32
+    fused_norm: bool = False
+
+    def _norm_silu(self, x, name):
+        if self.fused_norm:
+            return FusedGroupNormSiLU(self.groups, self.eps, name=name)(x.astype(self.dtype))
+        return nn.silu(nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype, name=name)(x))
 
     @nn.compact
     def __call__(self, x, temb):
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = self._norm_silu(x, "norm1")
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
 
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
 
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = self._norm_silu(h, "norm2")
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
 
         if in_channels != self.out_channels:
@@ -328,6 +355,7 @@ class UNet2D(nn.Module):
         cfg = self.config
         dtype = cfg.compute_dtype
         ndt = cfg.norm_compute_dtype
+        fused = cfg.fused_groupnorm
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
         if cfg.is_conditional and encoder_hidden_states is None:
@@ -352,7 +380,7 @@ class UNet2D(nn.Module):
             out_ch = cfg.block_out_channels[i]
             is_final = i == len(cfg.block_out_channels) - 1
             for j in range(cfg.layers_per_block):
-                x = Res(out_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, name=f"down_{i}_res_{j}")(x, temb)
+                x = Res(out_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, fused, name=f"down_{i}_res_{j}")(x, temb)
                 if block_type == "AttnDownBlock2D":
                     heads, hd = self._heads(out_ch)
                     x = Attn(hd, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, name=f"down_{i}_attn_{j}")(x)
@@ -368,7 +396,7 @@ class UNet2D(nn.Module):
 
         # ----------------------------------------------------------- mid block
         mid_ch = cfg.block_out_channels[-1]
-        x = Res(mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, name="mid_res_0")(x, temb)
+        x = Res(mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, fused, name="mid_res_0")(x, temb)
         heads, hd = self._heads(mid_ch)
         if cfg.is_conditional:
             x = Xfmr(heads, hd, cfg.norm_num_groups, cfg.norm_eps, dtype, name="mid_xattn")(
@@ -376,7 +404,7 @@ class UNet2D(nn.Module):
             )
         else:
             x = Attn(hd, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, name="mid_attn")(x)
-        x = Res(mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, name="mid_res_1")(x, temb)
+        x = Res(mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, fused, name="mid_res_1")(x, temb)
 
         # ------------------------------------------------------------ up path
         reversed_channels = tuple(reversed(cfg.block_out_channels))
@@ -386,7 +414,7 @@ class UNet2D(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = Res(out_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, name=f"up_{i}_res_{j}")(x, temb)
+                x = Res(out_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, fused, name=f"up_{i}_res_{j}")(x, temb)
                 if block_type == "AttnUpBlock2D":
                     heads, hd = self._heads(out_ch)
                     x = Attn(hd, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, name=f"up_{i}_attn_{j}")(x)

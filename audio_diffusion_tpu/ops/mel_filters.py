@@ -70,17 +70,23 @@ def mel_filterbank(
     return weights.astype(np.float32)
 
 
-def power_to_db(S: jnp.ndarray, top_db: float = 80.0) -> jnp.ndarray:
-    """librosa ``power_to_db(S, ref=np.max, top_db)`` over the trailing 2 axes.
+def power_to_db(S: jnp.ndarray, top_db: float = 80.0, ref: float | None = None) -> jnp.ndarray:
+    """librosa ``power_to_db(S, ref, top_db)`` over the trailing 2 axes.
 
-    ``ref=np.max`` means the per-spectrogram maximum, so the output peaks at
-    0 dB and is floored at ``-top_db`` (reference: audiodiffusion/mel.py:148).
+    ``ref=None`` means ``ref=np.max`` (the per-spectrogram maximum — the
+    reference's default, audiodiffusion/mel.py:135,148): output peaks at 0 dB
+    and floors at ``-top_db``. A scalar ``ref`` shifts by ``10*log10(ref)``
+    and floors at ``max - top_db``, matching librosa exactly.
     Batched: reduction axes are the last two (freq/time of one spectrogram).
     """
     log_spec = 10.0 * jnp.log10(jnp.maximum(S, AMIN))
-    ref = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
-    log_spec = log_spec - ref
-    return jnp.maximum(log_spec, -top_db)
+    if ref is None:
+        ref_db = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
+    else:
+        ref_db = 10.0 * jnp.log10(jnp.maximum(jnp.float32(abs(ref)), AMIN))
+    log_spec = log_spec - ref_db
+    peak = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
+    return jnp.maximum(log_spec, peak - top_db)
 
 
 def db_to_power(S_db: jnp.ndarray) -> jnp.ndarray:

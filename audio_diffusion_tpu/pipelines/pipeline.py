@@ -149,6 +149,7 @@ class AudioDiffusionPipeline:
         encoding: Optional[jnp.ndarray] = None,
         return_dict: bool = True,
         return_images_only: bool = False,
+        return_arrays: bool = False,
     ):
         """Generate mel spectrograms (and audio) — reference: pipeline:72-205.
 
@@ -234,6 +235,10 @@ class AudioDiffusionPipeline:
             return np.asarray(raw_dev)
 
         audios_dev = self.mel.images_to_audio(raw_dev, key=gl_key)
+        if return_arrays:
+            # Device arrays, no host sync: lets a serving loop overlap the
+            # next batch's compute with this batch's device-to-host transfer.
+            return raw_dev, audios_dev
         raw = np.asarray(raw_dev)
         pil_images = [Image.fromarray(img) for img in raw]
         audios = [a for a in np.asarray(audios_dev)]

@@ -35,6 +35,7 @@ def main(argv=None):
     p.add_argument("--latent_channels", type=int, default=1)
     p.add_argument("--base_channels", type=int, default=128)
     p.add_argument("--ch_mult", type=str, default="1,2,4,4")
+    p.add_argument("--norm_num_groups", type=int, default=32)
     p.add_argument("--learning_rate", type=float, default=4.5e-6)
     p.add_argument("--disc_start", type=int, default=50001)
     p.add_argument("--kl_weight", type=float, default=1.0e-6)
@@ -61,6 +62,7 @@ def main(argv=None):
         block_out_channels=tuple(a.base_channels * m for m in ch_mult),
         latent_channels=a.latent_channels,
         sample_size=resolution[0],
+        norm_num_groups=a.norm_num_groups,
     )
     vae = AutoencoderKL(vae_cfg)
     vae_params = vae.init_params(jax.random.key(a.seed), sample_hw=resolution)

@@ -188,3 +188,13 @@ def test_batched_forward_matches_per_item():
     for i in range(4):
         single = np.asarray(mel.spectrogram_images_from_audio(batch[i][None]))[0]
         np.testing.assert_array_equal(full[i], single)
+
+
+def test_power_to_db_scalar_ref():
+    """librosa power_to_db with scalar ref: shift by 10*log10(ref), floor at
+    peak - top_db (reference Mel allows ref overrides, mel.py:135)."""
+    S = np.array([[[1e-9, 0.01, 1.0, 100.0]]])
+    out = np.asarray(power_to_db(S, 80.0, ref=1.0))[0, 0]
+    golden = 10 * np.log10(np.maximum(S[0, 0], 1e-10))
+    golden = np.maximum(golden, golden.max() - 80.0)
+    np.testing.assert_allclose(out, golden, atol=1e-5)
