@@ -263,3 +263,63 @@ def test_unet_config_from_diffusers_json():
     assert cfg.attention_head_dim == 8  # None -> diffusers default
     assert cfg.freq_shift == 1 and cfg.flip_sin_to_cos is False
     assert not cfg.is_conditional
+
+
+def test_pipeline_from_torch_pretrained(tmp_path):
+    """End-to-end import of a torch diffusers pipeline directory: synthetic
+    checkpoint with the exact on-disk layout (config.json + .bin state dicts +
+    scheduler/mel configs) loads and generates."""
+    import json
+
+    from audio_diffusion_tpu.models import UNet2D, UNetConfig
+    from audio_diffusion_tpu.pipelines import AudioDiffusionPipeline
+
+    cfg = UNetConfig(
+        sample_size=(16, 16),
+        block_out_channels=(8, 16),
+        down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+        up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+        layers_per_block=2,
+        norm_num_groups=4,
+        attention_head_dim=4,
+    )
+    unet = UNet2D(cfg)
+    template = jax.tree_util.tree_map(np.asarray, unet.init_params(jax.random.key(0)))
+    sd_np = _emit_torch_keys_from_template(template, cfg)
+
+    root = tmp_path / "torch_pipe"
+    (root / "unet").mkdir(parents=True)
+    (root / "scheduler").mkdir()
+    (root / "mel").mkdir()
+
+    json.dump({"_class_name": "AudioDiffusionPipeline"}, open(root / "model_index.json", "w"))
+    json.dump({
+        "_class_name": "UNet2DModel",
+        "sample_size": [16, 16],
+        "in_channels": 1,
+        "out_channels": 1,
+        "layers_per_block": 2,
+        "block_out_channels": [8, 16],
+        "down_block_types": ["DownBlock2D", "AttnDownBlock2D"],
+        "up_block_types": ["AttnUpBlock2D", "UpBlock2D"],
+        "norm_num_groups": 4,
+        "attention_head_dim": 4,
+    }, open(root / "unet" / "config.json", "w"))
+    torch.save({k: torch.from_numpy(v.copy()) for k, v in sd_np.items()},
+               root / "unet" / "diffusion_pytorch_model.bin")
+    json.dump({"_class_name": "DDIMScheduler", "num_train_timesteps": 1000,
+               "beta_start": 0.0001, "beta_end": 0.02, "beta_schedule": "linear",
+               "clip_sample": True, "_diffusers_version": "0.24.0"},
+              open(root / "scheduler" / "scheduler_config.json", "w"))
+    json.dump({"_class_name": "Mel", "x_res": 16, "y_res": 16, "sample_rate": 22050,
+               "n_fft": 2048, "hop_length": 512, "top_db": 80, "n_iter": 2,
+               "_diffusers_version": "0.24.0"},
+              open(root / "mel" / "mel_config.json", "w"))
+
+    pipe = AudioDiffusionPipeline.from_pretrained(str(root))
+    # Weights made it through the conversion byte-exact.
+    np.testing.assert_array_equal(
+        np.asarray(pipe.unet_params["conv_in"]["kernel"]), template["conv_in"]["kernel"]
+    )
+    raw = pipe(batch_size=1, steps=2, key=jax.random.key(0), return_images_only=True)
+    assert raw.shape == (1, 16, 16)
