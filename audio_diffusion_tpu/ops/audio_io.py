@@ -14,10 +14,9 @@ from __future__ import annotations
 
 import os
 import shutil
-import struct
 import subprocess
 import wave
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from scipy.signal import resample_poly

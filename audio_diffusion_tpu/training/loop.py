@@ -22,7 +22,7 @@ import numpy as np
 
 from ..data.dataset import ImageSliceDataset, epoch_batches, load_encodings
 from ..mel import Mel
-from ..models.unet2d import UNet2D, UNetConfig, conditional_config, unconditional_config
+from ..models.unet2d import UNet2D, conditional_config, unconditional_config
 from ..parallel.mesh import is_main_process, make_mesh
 from ..pipelines.pipeline import AudioDiffusionPipeline
 from ..schedulers import DDIMScheduler, DDPMScheduler, SchedulerConfig

@@ -21,7 +21,7 @@ timesteps (241-246), latent scaling 0.18215 (234-235).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
