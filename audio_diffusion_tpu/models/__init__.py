@@ -10,8 +10,8 @@ def __getattr__(name):
         from . import audio_encoder
 
         return getattr(audio_encoder, name)
-    if name in ("EMA", "ema_update"):
-        from . import ema
+    if name == "EMA":
+        from .ema import EMA
 
-        return getattr(ema, name)
+        return EMA
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -289,12 +289,13 @@ class TransformerBlock(nn.Module):
 
 class Transformer2D(nn.Module):
     """Spatial transformer: GroupNorm -> proj_in -> transformer block(s) -> proj_out,
-    with a residual connection (diffusers Transformer2DModel, 1 block)."""
+    with a residual connection (diffusers Transformer2DModel, 1 block).
+    The input GroupNorm epsilon is fixed at 1e-6 (diffusers hardcodes it;
+    UNetConfig.norm_eps intentionally does not apply here)."""
 
     num_heads: int
     head_dim: int
     groups: int = 32
-    eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -339,8 +340,20 @@ class UNet2D(nn.Module):
     config: UNetConfig
 
     def _heads(self, channels: int) -> Tuple[int, int]:
+        """Self-attention (UNet2DModel Attention): attention_head_dim is the
+        per-head dim -> (channels // head_dim) heads."""
         head_dim = self.config.attention_head_dim
         return max(channels // head_dim, 1), head_dim
+
+    def _cross_heads(self, channels: int) -> Tuple[int, int]:
+        """Cross-attention blocks (UNet2DConditionModel quirk, diffusers
+        0.12-0.24): ``attention_head_dim`` actually means the NUMBER of heads
+        for Transformer2DModel (num_attention_heads = attention_head_dim,
+        head dim = channels // heads) — the opposite of the self-attention
+        convention. Getting this wrong passes every shape check but changes
+        the head partitioning and softmax scale of imported checkpoints."""
+        num_heads = self.config.attention_head_dim
+        return num_heads, max(channels // num_heads, 1)
 
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states=None):
@@ -385,8 +398,8 @@ class UNet2D(nn.Module):
                     heads, hd = self._heads(out_ch)
                     x = Attn(hd, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, name=f"down_{i}_attn_{j}")(x)
                 elif block_type == "CrossAttnDownBlock2D":
-                    heads, hd = self._heads(out_ch)
-                    x = Xfmr(heads, hd, cfg.norm_num_groups, cfg.norm_eps, dtype, name=f"down_{i}_xattn_{j}")(
+                    heads, hd = self._cross_heads(out_ch)
+                    x = Xfmr(heads, hd, cfg.norm_num_groups, dtype, name=f"down_{i}_xattn_{j}")(
                         x, encoder_hidden_states
                     )
                 skips.append(x)
@@ -397,12 +410,13 @@ class UNet2D(nn.Module):
         # ----------------------------------------------------------- mid block
         mid_ch = cfg.block_out_channels[-1]
         x = Res(mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, fused, name="mid_res_0")(x, temb)
-        heads, hd = self._heads(mid_ch)
         if cfg.is_conditional:
-            x = Xfmr(heads, hd, cfg.norm_num_groups, cfg.norm_eps, dtype, name="mid_xattn")(
+            heads, hd = self._cross_heads(mid_ch)
+            x = Xfmr(heads, hd, cfg.norm_num_groups, dtype, name="mid_xattn")(
                 x, encoder_hidden_states
             )
         else:
+            heads, hd = self._heads(mid_ch)
             x = Attn(hd, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, name="mid_attn")(x)
         x = Res(mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, fused, name="mid_res_1")(x, temb)
 
@@ -419,8 +433,8 @@ class UNet2D(nn.Module):
                     heads, hd = self._heads(out_ch)
                     x = Attn(hd, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, name=f"up_{i}_attn_{j}")(x)
                 elif block_type == "CrossAttnUpBlock2D":
-                    heads, hd = self._heads(out_ch)
-                    x = Xfmr(heads, hd, cfg.norm_num_groups, cfg.norm_eps, dtype, name=f"up_{i}_xattn_{j}")(
+                    heads, hd = self._cross_heads(out_ch)
+                    x = Xfmr(heads, hd, cfg.norm_num_groups, dtype, name=f"up_{i}_xattn_{j}")(
                         x, encoder_hidden_states
                     )
             if not is_final:

@@ -154,7 +154,8 @@ class Decoder(nn.Module):
                 x = VAEResnetBlock(out_ch, cfg.norm_num_groups, dtype, name=f"up_{i}_res_{j}")(x)
             if i != len(reversed_ch) - 1:
                 B, H, W, C = x.shape
-                x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+                # Nearest x2 as broadcast+reshape (cheaper than generic resize).
+                x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C)).reshape(B, H * 2, W * 2, C)
                 x = nn.Conv(out_ch, (3, 3), padding=1, dtype=dtype, name=f"up_{i}_upsample")(x)
         x = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(x)
         x = nn.silu(x)

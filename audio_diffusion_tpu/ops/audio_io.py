@@ -77,6 +77,9 @@ def load_audio(path: str, sample_rate: int = 22050, mono: bool = True) -> np.nda
     if ext == ".wav":
         audio, sr = _read_wav(path)
     elif shutil.which("ffmpeg"):
+        if not mono:
+            raise ValueError("non-WAV decoding goes through ffmpeg with a mono downmix; "
+                             "mono=False is only supported for WAV files")
         audio, sr = _read_via_ffmpeg(path, sample_rate)
     else:
         raise ValueError(

@@ -92,7 +92,7 @@ def istft(
     n_fft: int = 2048,
     hop_length: int = 512,
     length: int | None = None,
-    window: jnp.ndarray | None = None,
+    window: np.ndarray | None = None,
 ) -> jnp.ndarray:
     """Batched inverse STFT with squared-window overlap-add normalization.
 
@@ -103,10 +103,9 @@ def istft(
     Returns:
         real signal, shape (..., length).
     """
-    if window is None:
-        window = jnp.asarray(hann_window(n_fft), dtype=jnp.float32)
+    window_np = hann_window(n_fft) if window is None else np.asarray(window, dtype=np.float64)
     n_frames = spec.shape[-2]
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * jnp.asarray(window_np, dtype=jnp.float32)
 
     pad = n_fft // 2
     full = (n_frames - 1) * hop_length + n_fft
@@ -131,7 +130,7 @@ def istft(
     # Squared-window sum normalization (librosa.filters.window_sumsquare), with
     # librosa's guard: only divide where the sum exceeds float tiny.
     wss = np.zeros((full,), dtype=np.float64)
-    w2 = hann_window(n_fft) ** 2
+    w2 = window_np ** 2  # normalize by the window actually applied
     for s in starts:
         wss[s : s + n_fft] += w2
     tiny = np.finfo(np.float32).tiny

@@ -39,6 +39,20 @@ from .train_unet import (
 logger = logging.getLogger("audio_diffusion_tpu.training")
 
 
+def gather_to_host(tree):
+    """Materialize a (possibly sharded, possibly multi-host) pytree on every
+    host as numpy. Single-process: plain device_get. Multi-process: a
+    process_allgather collective that all hosts must enter together."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    return jax.tree_util.tree_map(
+        lambda x: multihost_utils.process_allgather(x, tiled=True) if hasattr(x, "sharding") else x,
+        tree,
+    )
+
+
 @dataclasses.dataclass
 class RunConfig:
     dataset: str
@@ -182,25 +196,33 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
                 done = True
                 break
 
+        should_save = (epoch + 1) % run.save_model_epochs == 0 or epoch == run.num_epochs - 1 or done
+        should_sample = (epoch + 1) % run.save_images_epochs == 0
         eval_pipe = None
-        if (epoch + 1) % run.save_model_epochs == 0 or (epoch + 1) % run.save_images_epochs == 0 or \
-                epoch == run.num_epochs - 1 or done:
-            eval_params = state.ema_params if train.use_ema else state.params
+        host_state = None
+        if should_save or should_sample:
+            # Gather to host on EVERY process: with sharded/global-mesh state,
+            # collectives must run on all hosts — rank-0-only device access
+            # would deadlock on a pod (the reference's is_main_process gating
+            # is only safe because torch DDP keeps full per-process replicas).
+            host_state = gather_to_host(state)
+            eval_params = host_state.ema_params if train.use_ema else host_state.params
             eval_pipe = AudioDiffusionPipeline(unet, eval_params, mel, scheduler, vqvae, vqvae_params)
 
-        if eval_pipe and is_main_process() and (
-                (epoch + 1) % run.save_model_epochs == 0 or epoch == run.num_epochs - 1 or done):
+        if should_save and is_main_process():
             eval_pipe.save_pretrained(run.output_dir)
-            save_train_state(manager, global_step, jax.device_get(state))
+            save_train_state(manager, global_step, host_state)
 
-        if eval_pipe and writer and (epoch + 1) % run.save_images_epochs == 0:
+        if eval_pipe and writer and should_sample:
             enc_eval = None
             if conditional:
                 vals = list(encodings.values())
                 pick = rng.choice(len(vals), size=min(run.eval_batch_size, len(vals)), replace=False)
                 enc_eval = np.stack([vals[i] for i in pick])[:, None, :]
+            # steps=None -> scheduler default (50 DDIM / num_train_steps DDPM),
+            # matching the reference's eval (train_unet.py:313-330).
             out = eval_pipe(batch_size=run.eval_batch_size, key=jax.random.key(42),
-                            steps=min(50, run.num_train_steps), encoding=enc_eval)
+                            encoding=enc_eval)
             writer.add_images("test_samples", out.raw_images[:, None, :, :], epoch)
             from ..ops.audio_io import normalize
 

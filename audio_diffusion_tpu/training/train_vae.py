@@ -128,39 +128,37 @@ def make_vae_train_steps(cfg: VAETrainConfig, vae, disc: PatchDiscriminator):
         kl = jnp.mean(posterior.kl())
         return nll, kl, rec
 
+    def _replace_last(vae_params, w):
+        dec = dict(vae_params["decoder"])
+        dec["conv_out"] = {**dec["conv_out"], "kernel": w}
+        return {**vae_params, "decoder": dec}
+
     def gen_step(state: VAETrainState, images, key):
         disc_factor = jnp.where(state.step >= cfg.disc_start, 1.0, 0.0)
 
+        # CompVis adaptive weight: ||grad_last(nll)|| / ||grad_last(g_loss)||.
+        # One linearization at the final decoder kernel yields both gradient
+        # norms via two cheap pullbacks (the backward only spans conv_out ->
+        # losses), instead of two extra full forward+backward passes.
+        last = state.params["vae"]["decoder"]["conv_out"]["kernel"]
+
+        def heads_of_last(w):
+            p = {**state.params, "vae": _replace_last(state.params["vae"], w)}
+            nll, kl, rec = nll_and_parts(p, images, key)
+            g = -jnp.mean(disc.apply({"params": state.disc_params}, rec))
+            return jnp.stack([nll, g])
+
+        _, vjp_fn = jax.vjp(heads_of_last, last)
+        (nll_grad,) = vjp_fn(jnp.array([1.0, 0.0], jnp.float32))
+        (g_grad,) = vjp_fn(jnp.array([0.0, 1.0], jnp.float32))
+        d_weight = jnp.linalg.norm(nll_grad) / (jnp.linalg.norm(g_grad) + 1e-4)
+        d_weight = jnp.clip(d_weight, 0.0, 1e4) * cfg.disc_weight
+
         def loss_fn(params):
             nll, kl, rec = nll_and_parts(params, images, key)
-            logits_fake = disc.apply({"params": state.disc_params}, rec)
-            g_loss = -jnp.mean(logits_fake)
-
-            # CompVis adaptive weight: gradient-norm ratio at the last layer.
-            last = params["vae"]["decoder"]["conv_out"]["kernel"]
-
-            def nll_of_last(w):
-                p = {**params, "vae": replace_leaf(params["vae"], w)}
-                n, _, _ = nll_and_parts(p, images, key)
-                return n
-
-            def g_of_last(w):
-                p = {**params, "vae": replace_leaf(params["vae"], w)}
-                _, _, r = nll_and_parts(p, images, key)
-                return -jnp.mean(disc.apply({"params": state.disc_params}, r))
-
-            nll_grad = jax.grad(nll_of_last)(last)
-            g_grad = jax.grad(g_of_last)(last)
-            d_weight = jnp.linalg.norm(nll_grad) / (jnp.linalg.norm(g_grad) + 1e-4)
-            d_weight = jax.lax.stop_gradient(jnp.clip(d_weight, 0.0, 1e4) * cfg.disc_weight)
-
+            g_loss = -jnp.mean(disc.apply({"params": state.disc_params}, rec))
             total = nll + cfg.kl_weight * kl + d_weight * disc_factor * g_loss
             return total, {"nll": nll, "kl": kl, "g_loss": g_loss, "d_weight": d_weight}
-
-        def replace_leaf(vae_params, w):
-            dec = dict(vae_params["decoder"])
-            dec["conv_out"] = {**dec["conv_out"], "kernel": w}
-            return {**vae_params, "decoder": dec}
 
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = g_opt.update(grads, state.opt_state, state.params)

@@ -144,3 +144,16 @@ def test_nonsquare_sample_size():
     params = model.init_params(jax.random.key(0))
     out = model.apply({"params": params}, jnp.ones((1, 8, 16, 1)), jnp.array([0]))
     assert out.shape == (1, 8, 16, 1)
+
+
+def test_cross_attention_head_convention():
+    """diffusers quirk: attention_head_dim means dim-per-head for
+    UNet2DModel self-attention but NUMBER of heads for UNet2DConditionModel
+    cross-attention blocks. Both conventions must be honored or imported
+    conditional checkpoints silently attend with the wrong partitioning."""
+    model = UNet2D(tiny_cond_config(attention_head_dim=4))
+    # channels=16, attention_head_dim=4:
+    assert model._heads(16) == (4, 4)        # self-attn: 16/4 heads of dim 4
+    assert model._cross_heads(16) == (4, 4)  # cross: 4 heads of dim 16/4
+    assert model._heads(64) == (16, 4)       # diverge at larger widths
+    assert model._cross_heads(64) == (4, 16)
