@@ -151,7 +151,7 @@ def test_cross_attention_head_convention():
     UNet2DModel self-attention but NUMBER of heads for UNet2DConditionModel
     cross-attention blocks. Both conventions must be honored or imported
     conditional checkpoints silently attend with the wrong partitioning."""
-    model = UNet2D(tiny_cond_config(attention_head_dim=4))
+    model = UNet2D(tiny_cond_config())  # attention_head_dim=4
     # channels=16, attention_head_dim=4:
     assert model._heads(16) == (4, 4)        # self-attn: 16/4 heads of dim 4
     assert model._cross_heads(16) == (4, 4)  # cross: 4 heads of dim 16/4
