@@ -116,8 +116,11 @@ class Mel:
     def get_sample_rate(self) -> int:
         return self.sr
 
-    def audio_slice_to_image(self, slice: int) -> Image.Image:
-        arr = self.spectrogram_images_from_audio(self.get_audio_slice(slice)[None])[0]
+    def audio_slice_to_image(self, slice: int, ref: Optional[float] = None) -> Image.Image:
+        """slice -> uint8 mel image. ``ref=None`` = per-spectrogram max (the
+        reference's ``np.max`` default); a scalar matches librosa's scalar-ref
+        dB convention (reference: audiodiffusion/mel.py:135-148)."""
+        arr = self.spectrogram_images_from_audio(self.get_audio_slice(slice)[None], ref=ref)[0]
         return Image.fromarray(np.asarray(arr))
 
     def image_to_audio(self, image: Image.Image, key: Optional[jax.Array] = None) -> np.ndarray:
@@ -130,13 +133,13 @@ class Mel:
         n_fft, hop, top_db = self.n_fft, self.hop_length, float(self.top_db)
         n_iter = self.n_iter
 
-        @jax.jit
-        def _forward(audio: jnp.ndarray) -> jnp.ndarray:
+        @partial(jax.jit, static_argnames=("ref",))
+        def _forward(audio: jnp.ndarray, ref=None) -> jnp.ndarray:
             spec = stft(audio.astype(jnp.float32), n_fft, hop)  # (B, frames, freq)
             power = jnp.abs(spec) ** 2
             mel = power @ mel_basis.T  # (B, frames, n_mels) — MXU matmul
             mel = jnp.swapaxes(mel, -2, -1)  # image layout: (B, n_mels, frames)
-            log_s = power_to_db(mel, top_db)
+            log_s = power_to_db(mel, top_db, ref=ref)
             return db_to_uint8(log_s, top_db)
 
         @partial(jax.jit, static_argnames=("length",))
@@ -148,9 +151,11 @@ class Mel:
         self._forward = _forward
         self._inverse = _inverse
 
-    def spectrogram_images_from_audio(self, audio: Union[np.ndarray, jnp.ndarray]) -> jnp.ndarray:
+    def spectrogram_images_from_audio(
+        self, audio: Union[np.ndarray, jnp.ndarray], ref: Optional[float] = None
+    ) -> jnp.ndarray:
         """Batch of audio slices (B, slice_size) -> uint8 images (B, y_res, x_res)."""
-        return self._forward(jnp.asarray(audio))
+        return self._forward(jnp.asarray(audio), ref=ref)
 
     def images_to_audio(
         self, images: Union[np.ndarray, jnp.ndarray], key: Optional[jax.Array] = None

@@ -198,3 +198,17 @@ def test_power_to_db_scalar_ref():
     golden = 10 * np.log10(np.maximum(S[0, 0], 1e-10))
     golden = np.maximum(golden, golden.max() - 80.0)
     np.testing.assert_allclose(out, golden, atol=1e-5)
+
+
+def test_mel_forward_ref_override():
+    """Mel.audio_slice_to_image(ref=...) reaches the dB conversion (reference
+    allows a ref override, mel.py:135)."""
+    mel = Mel(x_res=16, y_res=16)
+    audio = synth_audio(mel.slice_size)
+    a = np.asarray(mel.spectrogram_images_from_audio(audio[None]))
+    b = np.asarray(mel.spectrogram_images_from_audio(audio[None], ref=1.0))
+    assert a.shape == b.shape
+    assert (a != b).any()  # scalar ref shifts the dB scale
+    mel.load_audio(raw_audio=audio)
+    img = mel.audio_slice_to_image(0, ref=1.0)
+    np.testing.assert_array_equal(np.asarray(img), b[0])
