@@ -73,6 +73,21 @@ class AudioDiffusionPipeline:
         self.vqvae = vqvae
         self.vqvae_params = vqvae_params
         self._compiled = {}
+        self.mesh = None
+
+    def shard(self, mesh) -> "AudioDiffusionPipeline":
+        """Distribute inference over a device mesh: parameters replicate,
+        generation batches shard along the ``data`` axis, and every jitted
+        program (denoise scan, VAE, Griffin-Lim) runs SPMD via sharding
+        propagation. batch_size must be divisible by the data-axis size."""
+        from ..parallel.mesh import replicated
+
+        self.mesh = mesh
+        self.unet_params = jax.device_put(self.unet_params, replicated(mesh))
+        if self.vqvae_params is not None:
+            self.vqvae_params = jax.device_put(self.vqvae_params, replicated(mesh))
+        self._compiled = {}  # re-trace against the new placements
+        return self
 
     # ------------------------------------------------------------------ misc
     def get_default_steps(self) -> int:
@@ -165,11 +180,18 @@ class AudioDiffusionPipeline:
         in_ch = self.unet.config.in_channels
         if noise is None:
             # One fused jitted program (noise gen is otherwise a separate
-            # dispatch + device sync on the hot path).
+            # dispatch + device sync on the hot path). Under a mesh the batch
+            # axis shards along 'data' and propagates through every stage.
             if "noise" not in self._compiled:
+                out_sh = None
+                if self.mesh is not None:
+                    from ..parallel.mesh import batch_sharding
+
+                    out_sh = batch_sharding(self.mesh, 4)
                 self._compiled["noise"] = jax.jit(
                     lambda k, s: jax.random.normal(k, s, dtype=jnp.float32),
                     static_argnums=(1,),
+                    out_shardings=out_sh,
                 )
             noise = self._compiled["noise"](noise_key, (batch_size, h, w, in_ch))
         else:

@@ -200,3 +200,25 @@ def test_save_load_roundtrip(tmp_path, ddim_pipe):
     np.testing.assert_array_equal(a, b)
     assert isinstance(loaded.scheduler, DDIMScheduler)
     assert loaded.mel.config == ddim_pipe.mel.config
+
+
+def test_sharded_inference_over_mesh():
+    """Multi-chip serving: pipeline.shard(mesh) runs the full generation SPMD
+    with the batch sharded along 'data' (8 virtual devices)."""
+    from audio_diffusion_tpu.parallel import make_mesh
+
+    unet, params = tiny_unet()
+    pipe = AudioDiffusionPipeline(unet, params, tiny_mel(), DDIMScheduler())
+    a = pipe(batch_size=8, steps=3, key=jax.random.key(5), return_images_only=True)
+
+    mesh = make_mesh()
+    pipe_sharded = AudioDiffusionPipeline(unet, params, tiny_mel(), DDIMScheduler()).shard(mesh)
+    b1 = pipe_sharded(batch_size=8, steps=3, key=jax.random.key(5), return_images_only=True)
+    b2 = pipe_sharded(batch_size=8, steps=3, key=jax.random.key(5), return_images_only=True)
+    assert b1.shape == (8, RES, RES)
+    np.testing.assert_array_equal(b1, b2)  # deterministic under sharding
+    # Same RNG + sharded layout must give the same values as single-device.
+    np.testing.assert_array_equal(a, b1)
+    # Full outputs path works too.
+    out = pipe_sharded(batch_size=8, steps=2, key=jax.random.key(6))
+    assert len(out.audios) == 8
