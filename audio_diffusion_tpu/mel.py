@@ -168,8 +168,14 @@ class Mel:
         """
         if key is None:
             key = jax.random.key(0)
+        images = jnp.asarray(images)
+        if images.shape[-2:] != (self.y_res, self.x_res):
+            raise ValueError(
+                f"expected (..., {self.y_res}, {self.x_res}) mel images for this Mel config, "
+                f"got {images.shape}; construct a Mel with matching x_res/y_res"
+            )
         length = (self.x_res - 1) * self.hop_length
-        return self._inverse(jnp.asarray(images), key, length)
+        return self._inverse(images, key, length)
 
     @property
     def mel_basis(self) -> np.ndarray:

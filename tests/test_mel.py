@@ -212,3 +212,9 @@ def test_mel_forward_ref_override():
     mel.load_audio(raw_audio=audio)
     img = mel.audio_slice_to_image(0, ref=1.0)
     np.testing.assert_array_equal(np.asarray(img), b[0])
+
+
+def test_images_to_audio_shape_guard():
+    mel = Mel(x_res=32, y_res=32)
+    with pytest.raises(ValueError, match="expected .* mel images"):
+        mel.images_to_audio(np.zeros((1, 16, 16), dtype=np.uint8))
