@@ -53,6 +53,13 @@ class DDIMScheduler:
             a = a[..., None]
         return jnp.sqrt(a) * sample + jnp.sqrt(1.0 - a) * noise
 
+    def velocity(self, sample: jnp.ndarray, noise: jnp.ndarray, t) -> jnp.ndarray:
+        """v-prediction target: v = sqrt(a)*eps - sqrt(1-a)*x0."""
+        a = self.alphas_cumprod[jnp.asarray(t)]
+        while a.ndim < sample.ndim:
+            a = a[..., None]
+        return jnp.sqrt(a) * noise - jnp.sqrt(1.0 - a) * sample
+
     def _alpha_prev(self, prev_t: jnp.ndarray) -> jnp.ndarray:
         return jnp.where(prev_t >= 0, self.alphas_cumprod[jnp.maximum(prev_t, 0)], self.final_alpha_cumprod)
 

@@ -52,6 +52,7 @@ class TrainConfig:
     ema_power: float = 0.75
     ema_max_decay: float = 0.9999
     param_sharding: str = "replicated"  # "replicated" (DP) or "fsdp" (ZeRO-like)
+    prediction_type: str = "epsilon"  # "epsilon" (reference default) | "v_prediction"
 
 
 class TrainState(struct.PyTreeNode):
@@ -164,7 +165,11 @@ def make_train_step(
         timesteps = jax.random.randint(t_key, (clean.shape[0],), 0, num_train_timesteps)
         noisy = scheduler.add_noise(clean, noise, timesteps)
         pred = unet.apply({"params": params}, noisy, timesteps, encodings if conditional else None)
-        return jnp.mean((pred - noise) ** 2)
+        if cfg.prediction_type == "v_prediction":
+            target = scheduler.velocity(clean, noise, timesteps)
+        else:
+            target = noise
+        return jnp.mean((pred - target) ** 2)
 
     def train_step(state: TrainState, images, encodings, key):
         accum = images.shape[0]

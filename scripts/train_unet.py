@@ -52,6 +52,7 @@ def parse_args(argv=None):
     p.add_argument("--from_pretrained", type=str, default=None)
     p.add_argument("--num_train_steps", type=int, default=1000)
     p.add_argument("--scheduler", type=str, default="ddpm", choices=["ddpm", "ddim"])
+    p.add_argument("--prediction_type", type=str, default="epsilon", choices=["epsilon", "v_prediction"])
     p.add_argument("--vae", type=str, default=None, help="pretrained VAE dir for latent diffusion")
     p.add_argument("--encodings", type=str, default=None,
                    help="pickled {audio_file: encoding} for conditional training")
@@ -86,6 +87,7 @@ def main(argv=None):
         adam_weight_decay=a.adam_weight_decay, adam_epsilon=a.adam_epsilon,
         gradient_accumulation_steps=a.gradient_accumulation_steps,
         use_ema=a.use_ema, ema_inv_gamma=a.ema_inv_gamma, ema_power=a.ema_power,
+        prediction_type=a.prediction_type,
         ema_max_decay=a.ema_max_decay, param_sharding=a.param_sharding,
     )
     result = run_training(run, train)

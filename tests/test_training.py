@@ -221,3 +221,23 @@ def test_lr_schedule_shape():
     np.testing.assert_allclose(float(sched(500)), 1e-4, rtol=1e-6)
     assert float(sched(10_000)) < 1e-8
     assert float(sched(250)) == pytest.approx(5e-5, rel=1e-3)
+
+
+def test_v_prediction_training(mesh):
+    """v-prediction target wiring: loss differs from epsilon and decreases."""
+    unet, params = tiny_unet()
+    cfg = TrainConfig(learning_rate=1e-3, lr_warmup_steps=1, total_steps=50,
+                      use_ema=False, prediction_type="v_prediction")
+    scheduler = DDPMScheduler()
+    state = shard_train_state(init_train_state(cfg, params), mesh, cfg)
+    step_fn = make_train_step(cfg, unet, scheduler)
+    img_sh, _ = batch_shardings(mesh)
+    images = jax.device_put(
+        np.random.default_rng(3).standard_normal((1, 8, 8, 8, 1)).astype(np.float32).clip(-1, 1), img_sh
+    )
+    losses = []
+    for i in range(8):
+        state, m = step_fn(state, images, None, jax.random.key(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
