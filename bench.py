@@ -37,7 +37,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--steps", type=int, default=50)
-    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--iters", type=int, default=5)
     p.add_argument("--resolution", type=int, default=256)
     p.add_argument("--quick", action="store_true", help="small model smoke run")
     p.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
