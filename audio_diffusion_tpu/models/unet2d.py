@@ -373,6 +373,13 @@ class UNet2D(nn.Module):
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
         if cfg.is_conditional and encoder_hidden_states is None:
             raise ValueError("conditional UNet requires encoder_hidden_states")
+        factor = 2 ** (len(cfg.block_out_channels) - 1)
+        if sample.shape[1] % factor or sample.shape[2] % factor:
+            raise ValueError(
+                f"sample spatial dims {sample.shape[1:3]} must be divisible by "
+                f"{factor} (2^(num_blocks-1)) or the up-path skip shapes break; "
+                f"use a shallower UNet or a VAE with fewer downsamples"
+            )
         if encoder_hidden_states is not None:
             encoder_hidden_states = encoder_hidden_states.astype(dtype)
 
