@@ -15,6 +15,8 @@ except ImportError as e:  # pragma: no cover - optional dependency
     ) from e
 
 
+# NOTE: these are Hugging Face Hub IDs; download each repository locally first
+# (this framework loads local directories only) or replace with your own paths.
 MODELS = [
     "teticio/audio-diffusion-256",
     "teticio/audio-diffusion-breaks-256",

@@ -339,6 +339,13 @@ class AudioDiffusionPipeline:
         """Load a pipeline saved by :meth:`save_pretrained`. Directories written
         by the reference (torch diffusers format) load via
         ``utils.torch_import.pipeline_from_torch_pretrained``."""
+        if not os.path.isdir(directory):
+            raise FileNotFoundError(
+                f"{directory!r} is not a local directory. This framework loads local "
+                "checkpoints only (no Hub downloading in this environment); for a "
+                "published model like 'teticio/audio-diffusion-256', download the "
+                "repository first and pass its path."
+            )
         with open(os.path.join(directory, "model_index.json")) as fh:
             index = json.load(fh)
 

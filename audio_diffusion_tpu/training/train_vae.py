@@ -133,9 +133,11 @@ def make_vae_train_steps(cfg: VAETrainConfig, vae, disc: PatchDiscriminator):
         dec["conv_out"] = {**dec["conv_out"], "kernel": w}
         return {**vae_params, "decoder": dec}
 
-    def gen_step(state: VAETrainState, images, key):
-        disc_factor = jnp.where(state.step >= cfg.disc_start, 1.0, 0.0)
+    def _as_microbatches(images):
+        """Accept (B, H, W, C) or (accum, micro, H, W, C); return 5-D."""
+        return images[None] if images.ndim == 4 else images
 
+    def _gen_grads(state, images, key, disc_factor):
         # CompVis adaptive weight: ||grad_last(nll)|| / ||grad_last(g_loss)||.
         # One linearization at the final decoder kernel yields both gradient
         # norms via two cheap pullbacks (the backward only spans conv_out ->
@@ -160,7 +162,36 @@ def make_vae_train_steps(cfg: VAETrainConfig, vae, disc: PatchDiscriminator):
             total = nll + cfg.kl_weight * kl + d_weight * disc_factor * g_loss
             return total, {"nll": nll, "kl": kl, "g_loss": g_loss, "d_weight": d_weight}
 
-        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+    def gen_step(state: VAETrainState, images, key):
+        """One generator update; ``images`` may carry a leading accumulation
+        axis (accum, micro, H, W, C) — gradients average over microbatches
+        sequentially (lightning's accumulate_grad_batches semantics)."""
+        disc_factor = jnp.where(state.step >= cfg.disc_start, 1.0, 0.0)
+        images = _as_microbatches(images)
+        accum = images.shape[0]
+        keys = jax.random.split(key, accum)
+
+        def micro(acc, inp):
+            img, k = inp
+            (loss, parts), grads = _gen_grads(state, img, k, disc_factor)
+            acc_loss, acc_parts, acc_grads = acc
+            return (
+                acc_loss + loss,
+                jax.tree_util.tree_map(jnp.add, acc_parts, parts),
+                jax.tree_util.tree_map(jnp.add, acc_grads, grads),
+            ), None
+
+        zero_parts = {"nll": 0.0, "kl": 0.0, "g_loss": 0.0, "d_weight": 0.0}
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (loss_sum, parts_sum, grad_sum), _ = jax.lax.scan(
+            micro, (jnp.float32(0.0), zero_parts, zero_grads), (images, keys)
+        )
+        loss = loss_sum / accum
+        parts = jax.tree_util.tree_map(lambda x: x / accum, parts_sum)
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grad_sum)
+
         updates, opt_state = g_opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
@@ -168,17 +199,34 @@ def make_vae_train_steps(cfg: VAETrainConfig, vae, disc: PatchDiscriminator):
 
     def disc_step(state: VAETrainState, images, key):
         disc_factor = jnp.where(state.step >= cfg.disc_start, 1.0, 0.0)
-        rec, _ = reconstruct(state.params["vae"], images, key)
-        rec = jax.lax.stop_gradient(rec)
+        images = _as_microbatches(images)
+        accum = images.shape[0]
+        keys = jax.random.split(key, accum)
 
-        def loss_fn(disc_params):
-            logits_real = disc.apply({"params": disc_params}, images)
-            logits_fake = disc.apply({"params": disc_params}, rec)
-            # hinge loss
-            d_loss = 0.5 * (jnp.mean(nn.relu(1.0 - logits_real)) + jnp.mean(nn.relu(1.0 + logits_fake)))
-            return disc_factor * d_loss, d_loss
+        def _disc_grads(img, k):
+            rec, _ = reconstruct(state.params["vae"], img, k)
+            rec = jax.lax.stop_gradient(rec)
 
-        (loss, d_loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.disc_params)
+            def loss_fn(disc_params):
+                logits_real = disc.apply({"params": disc_params}, img)
+                logits_fake = disc.apply({"params": disc_params}, rec)
+                # hinge loss
+                d_loss = 0.5 * (jnp.mean(nn.relu(1.0 - logits_real)) + jnp.mean(nn.relu(1.0 + logits_fake)))
+                return disc_factor * d_loss, d_loss
+
+            return jax.value_and_grad(loss_fn, has_aux=True)(state.disc_params)
+
+        def micro(acc, inp):
+            img, k = inp
+            (_, d_loss), grads = _disc_grads(img, k)
+            acc_loss, acc_grads = acc
+            return (acc_loss + d_loss, jax.tree_util.tree_map(jnp.add, acc_grads, grads)), None
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.disc_params)
+        (loss_sum, grad_sum), _ = jax.lax.scan(micro, (jnp.float32(0.0), zero_grads), (images, keys))
+        d_loss = loss_sum / accum
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grad_sum)
+
         updates, opt_state = d_opt.update(grads, state.disc_opt_state, state.disc_params)
         disc_params = optax.apply_updates(state.disc_params, updates)
         new_state = state.replace(step=state.step + 1, disc_params=disc_params, disc_opt_state=opt_state)

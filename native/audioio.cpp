@@ -57,6 +57,10 @@ bool parse_wav(const char* path, Wav& out) {
   while (pos + 8 <= (size_t)size) {
     const uint8_t* chunk = buf.data() + pos;
     uint32_t chunk_len = rd_u32(chunk + 4);
+    // Clamp the chunk to the actual buffer: a truncated/malformed file must
+    // not cause reads past the end (the parser sees arbitrary user files).
+    size_t avail = (size_t)size - (pos + 8);
+    if (chunk_len > avail) chunk_len = (uint32_t)avail;
     if (memcmp(chunk, "fmt ", 4) == 0 && chunk_len >= 16) {
       format = rd_u16(chunk + 8);
       channels = rd_u16(chunk + 10);
@@ -65,9 +69,9 @@ bool parse_wav(const char* path, Wav& out) {
       if (format == 0xFFFE && chunk_len >= 40) format = rd_u16(chunk + 8 + 24);  // WAVE_FORMAT_EXTENSIBLE
     } else if (memcmp(chunk, "data", 4) == 0) {
       data = chunk + 8;
-      data_len = std::min<uint32_t>(chunk_len, (uint32_t)(size - (pos + 8)));
+      data_len = chunk_len;
     }
-    pos += 8 + chunk_len + (chunk_len & 1);
+    pos += 8 + (size_t)rd_u32(chunk + 4) + (rd_u32(chunk + 4) & 1);
   }
   if (!data || channels == 0 || sample_rate == 0) return false;
 
@@ -220,8 +224,12 @@ int adt_load_batch(const char** paths, int n, int target_sr, float** outs, int64
       if (i >= n) return;
       std::vector<float> samples;
       if (load_one(paths[i], target_sr, samples)) {
-        n_outs[i] = (int64_t)samples.size();
         outs[i] = (float*)malloc(samples.size() * sizeof(float));
+        if (!outs[i]) {  // allocation failure: mark failed, don't crash
+          n_outs[i] = -1;
+          continue;
+        }
+        n_outs[i] = (int64_t)samples.size();
         memcpy(outs[i], samples.data(), samples.size() * sizeof(float));
         ok.fetch_add(1);
       } else {

@@ -42,7 +42,14 @@ def parse_args(argv=None):
     p.add_argument("--adam_beta2", type=float, default=0.999)
     p.add_argument("--adam_weight_decay", type=float, default=1e-6)
     p.add_argument("--adam_epsilon", type=float, default=1e-8)
-    p.add_argument("--use_ema", type=lambda s: s.lower() != "false", default=True)
+    def str2bool(v):
+        if v.lower() in ("true", "1", "yes", "y"):
+            return True
+        if v.lower() in ("false", "0", "no", "n"):
+            return False
+        raise argparse.ArgumentTypeError(f"boolean expected, got {v!r}")
+
+    p.add_argument("--use_ema", type=str2bool, default=True)
     p.add_argument("--ema_inv_gamma", type=float, default=1.0)
     p.add_argument("--ema_power", type=float, default=0.75)
     p.add_argument("--ema_max_decay", type=float, default=0.9999)

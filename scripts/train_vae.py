@@ -89,7 +89,7 @@ def main(argv=None):
     t0 = time.time()
     for epoch in range(a.max_epochs):
         for images, _ in epoch_batches(dataset, a.batch_size, a.gradient_accumulation_steps, rng):
-            batch = jax.numpy.asarray(images.reshape(-1, *images.shape[2:]))
+            batch = jax.numpy.asarray(images)  # (accum, micro, H, W, C): grads average over microbatches
             key = jax.random.fold_in(jax.random.key(a.seed), step)
             if step % 2 == 0:
                 state, metrics = gen_step(state, batch, key)
@@ -103,7 +103,7 @@ def main(argv=None):
                     for k, v in logs.items():
                         writer.add_scalar(f"vae/{k}", v, step)
             if writer and step % a.save_images_batches == 0:
-                rec, _ = vae.apply({"params": state.params["vae"]}, batch[:4], jax.random.key(0))
+                rec, _ = vae.apply({"params": state.params["vae"]}, batch[0][:4], jax.random.key(0))
                 grid = np.clip(np.asarray(rec)[..., 0] / 2 + 0.5, 0, 1)
                 writer.add_images("vae/reconstructions", (grid * 255).astype(np.uint8)[:, None], step)
                 from audio_diffusion_tpu.ops.audio_io import normalize

@@ -13,15 +13,25 @@ except ImportError as e:  # pragma: no cover - optional dependency
     ) from e
 
 from audio_diffusion_tpu.audio_diffusion import AudioDiffusion
-from audio_diffusion_tpu.ops.audio_io import normalize, write_wav
+from audio_diffusion_tpu.ops.audio_io import normalize
+
+
+@st.cache_resource
+def load_model(model_id: str) -> AudioDiffusion:
+    return AudioDiffusion(model_id=model_id)
 
 
 def wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
-    import tempfile
+    import wave
 
-    with tempfile.NamedTemporaryFile(suffix=".wav") as fh:
-        write_wav(fh.name, normalize(audio), sample_rate)
-        return open(fh.name, "rb").read()
+    pcm = np.clip(normalize(audio) * 32767.0, -32768, 32767).astype(np.int16)
+    buf = BytesIO()
+    with wave.open(buf, "wb") as fh:
+        fh.setnchannels(1)
+        fh.setsampwidth(2)
+        fh.setframerate(sample_rate)
+        fh.writeframes(pcm.tobytes())
+    return buf.getvalue()
 
 
 if __name__ == "__main__":
@@ -37,7 +47,7 @@ if __name__ == "__main__":
         ],
     )
     if st.button("Generate"):
-        audio_diffusion = AudioDiffusion(model_id=model_id)
+        audio_diffusion = load_model(model_id)
         image, (sample_rate, audio) = audio_diffusion.generate_spectrogram_and_audio()
         st.image(image, caption="Mel spectrogram")
         st.audio(wav_bytes(audio, sample_rate), format="audio/wav")
