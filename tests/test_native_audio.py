@@ -82,3 +82,46 @@ def test_load_audio_native_resamples(tmp_path):
     write_wav(p, audio, 44100)
     out = load_audio(p, 22050)
     assert abs(len(out) - 22050) <= 1
+
+
+def test_native_decode_truncated_and_malformed(tmp_path):
+    """Malformed/truncated WAVs must fail cleanly, never crash (the parser
+    sees arbitrary user files during dataset prep)."""
+    import struct
+
+    cases = {}
+    # Truncated fmt chunk: declares 16 bytes but the file ends after 4.
+    header = b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+    cases["truncated_fmt.wav"] = header + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+    # fmt chunk length lies beyond the buffer after a junk chunk.
+    cases["lying_len.wav"] = (
+        header + b"JUNK" + struct.pack("<I", 4) + b"xxxx" + b"fmt " + struct.pack("<I", 64) + b"\x01\x00\x02\x00"
+    )
+    # data chunk with no fmt at all.
+    cases["no_fmt.wav"] = header + b"data" + struct.pack("<I", 8) + b"\x00" * 8
+    # zero-size declared RIFF with trailing garbage.
+    cases["garbage.wav"] = b"RIFF\x00\x00\x00\x00WAVExxxxxxxxxxxxxxxxxxxxxxxx"
+
+    for name, blob in cases.items():
+        p = tmp_path / name
+        p.write_bytes(blob)
+        out = native_audio.load_wav(str(p), 22050)
+        assert out is None, f"{name} should fail cleanly"
+
+
+def test_native_decode_extensible_format(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) PCM files decode via the sub-format."""
+    import struct
+
+    sr, n = 22050, 1000
+    pcm = (np.sin(np.arange(n) * 0.05) * 20000).astype(np.int16).tobytes()
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, sr, sr * 2, 2, 16)
+    # cbSize=22, validBits=16, channelMask=0x4, SubFormat GUID (PCM: 01 00 ...)
+    fmt += struct.pack("<HHI", 22, 16, 0x4) + b"\x01\x00" + b"\x00" * 14
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    p = tmp_path / "ext.wav"
+    p.write_bytes(blob)
+    out = native_audio.load_wav(str(p), sr)
+    assert out is not None and out.shape == (n,)
