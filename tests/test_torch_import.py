@@ -323,3 +323,51 @@ def test_pipeline_from_torch_pretrained(tmp_path):
     )
     raw = pipe(batch_size=1, steps=2, key=jax.random.key(0), return_images_only=True)
     assert raw.shape == (1, 16, 16)
+
+
+def test_convert_checkpoint_cli(tmp_path):
+    """scripts/convert_checkpoint.py converts a torch pipeline dir to native
+    format that from_pretrained loads without the torch path."""
+    import json
+    import os
+    import sys
+
+    from audio_diffusion_tpu.models import UNet2D, UNetConfig
+    from audio_diffusion_tpu.pipelines import AudioDiffusionPipeline
+
+    cfg = UNetConfig(sample_size=(16, 16), block_out_channels=(8, 16),
+                     down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+                     up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+                     layers_per_block=2, norm_num_groups=4, attention_head_dim=4)
+    unet = UNet2D(cfg)
+    template = jax.tree_util.tree_map(np.asarray, unet.init_params(jax.random.key(0)))
+    sd_np = _emit_torch_keys_from_template(template, cfg)
+
+    root = tmp_path / "torch_pipe"
+    (root / "unet").mkdir(parents=True)
+    (root / "scheduler").mkdir()
+    (root / "mel").mkdir()
+    json.dump({"_class_name": "AudioDiffusionPipeline"}, open(root / "model_index.json", "w"))
+    json.dump({"_class_name": "UNet2DModel", "sample_size": [16, 16], "in_channels": 1,
+               "out_channels": 1, "layers_per_block": 2, "block_out_channels": [8, 16],
+               "down_block_types": ["DownBlock2D", "AttnDownBlock2D"],
+               "up_block_types": ["AttnUpBlock2D", "UpBlock2D"],
+               "norm_num_groups": 4, "attention_head_dim": 4},
+              open(root / "unet" / "config.json", "w"))
+    torch.save({k: torch.from_numpy(v.copy()) for k, v in sd_np.items()},
+               root / "unet" / "diffusion_pytorch_model.bin")
+    json.dump({"_class_name": "DDIMScheduler", "num_train_timesteps": 1000},
+              open(root / "scheduler" / "scheduler_config.json", "w"))
+    json.dump({"_class_name": "Mel", "x_res": 16, "y_res": 16, "sample_rate": 22050,
+               "n_fft": 2048, "hop_length": 512, "top_db": 80, "n_iter": 2},
+              open(root / "mel" / "mel_config.json", "w"))
+
+    sys.path.insert(0, ".")
+    from scripts.convert_checkpoint import main as convert_main
+
+    out_dir = str(tmp_path / "native")
+    convert_main(["--input", str(root), "--output", out_dir])
+    assert os.path.exists(os.path.join(out_dir, "unet", "params.msgpack"))
+    pipe = AudioDiffusionPipeline.from_pretrained(out_dir)
+    raw = pipe(batch_size=1, steps=2, return_images_only=True)
+    assert raw.shape == (1, 16, 16)
