@@ -18,6 +18,15 @@ def test_dryrun_multichip(n):
     graft.dryrun_multichip(n)
 
 
+def test_dryrun_multichip_reexec_fallback():
+    """The driver invokes dryrun_multichip under a 1-chip backend
+    (MULTICHIP_r01.json failure mode). When the initialized backend has
+    fewer devices than requested, the entry must re-exec onto a virtual
+    CPU mesh of the right size. Here the backend is already up with 8 CPU
+    devices, so asking for 16 exercises exactly that fallback."""
+    graft.dryrun_multichip(16)
+
+
 def test_entry_is_jittable_on_tiny_variant():
     """entry() returns the full 256x256 flagship (slow to compile on CPU);
     validate the contract shape with the same code path at a smaller size by
