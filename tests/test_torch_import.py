@@ -371,3 +371,132 @@ def test_convert_checkpoint_cli(tmp_path):
     pipe = AudioDiffusionPipeline.from_pretrained(out_dir)
     raw = pipe(batch_size=1, steps=2, return_images_only=True)
     assert raw.shape == (1, 16, 16)
+
+
+# ----------------------------------------------- full-model torch-twin parity
+
+def _import_unet_from_twin(cfg, twin):
+    from audio_diffusion_tpu.models import UNet2D
+    from audio_diffusion_tpu.utils.torch_import import _check_structure
+
+    sd = {k: v.numpy() for k, v in twin.state_dict().items()}
+    unet = UNet2D(cfg)
+    template = unet.init_params(jax.random.key(0))
+    return unet, _check_structure(template, convert_unet(sd, cfg))
+
+
+def test_full_unet_torch_parity_unconditional():
+    """Forward parity of the complete unconditional stack (ResNet + self-attn
+    + down/up/skip wiring + timestep embedding) against an independently
+    written torch twin, through the real weight converter (VERDICT r1 #3)."""
+    from torch_twins import TorchUNet2D
+    from audio_diffusion_tpu.models import UNetConfig
+
+    cfg = UNetConfig(
+        sample_size=(16, 16),
+        block_out_channels=(8, 16, 16),
+        down_block_types=("DownBlock2D", "AttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "AttnUpBlock2D", "UpBlock2D"),
+        layers_per_block=2,
+        norm_num_groups=4,
+        attention_head_dim=4,
+    )
+    torch.manual_seed(11)
+    twin = TorchUNet2D(cfg).eval()
+    unet, params = _import_unet_from_twin(cfg, twin)
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 1, 16, 16)).astype(np.float32)
+    t = np.array([7, 613], dtype=np.int64)
+    with torch.no_grad():
+        golden = twin(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    ours = unet.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), golden, atol=1e-4)
+
+
+def test_full_unet_torch_parity_conditional():
+    """Same gate for the cross-attention UNet — exercises the diffusers
+    0.12-0.24 head convention (attention_head_dim == NUM heads in
+    Transformer2D), GEGLU split order, and context projections."""
+    from torch_twins import TorchUNet2D
+    from audio_diffusion_tpu.models import UNetConfig
+
+    cfg = UNetConfig(
+        sample_size=(16, 16),
+        block_out_channels=(8, 16),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1,
+        norm_num_groups=4,
+        attention_head_dim=4,
+        cross_attention_dim=12,
+    )
+    torch.manual_seed(13)
+    twin = TorchUNet2D(cfg).eval()
+    unet, params = _import_unet_from_twin(cfg, twin)
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 1, 16, 16)).astype(np.float32)
+    enc = rng.standard_normal((2, 3, 12)).astype(np.float32)
+    t = np.array([42, 999], dtype=np.int64)
+    with torch.no_grad():
+        golden = twin(torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(enc)).numpy()
+    ours = unet.apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t), jnp.asarray(enc)
+    )
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), golden, atol=1e-4)
+
+
+def test_full_unet_torch_parity_flagship_64():
+    """The flagship gate: the reference's EXACT unconditional architecture
+    (train_unet.py:115-137 — 6 blocks, 128..512 channels, attn in 5th down /
+    2nd up) at 64x64, random weights, forward parity <= 1e-4. De-risks
+    published-checkpoint import end to end."""
+    from torch_twins import TorchUNet2D
+    from audio_diffusion_tpu.models import unconditional_config
+
+    cfg = unconditional_config(sample_size=(64, 64))
+    torch.manual_seed(17)
+    twin = TorchUNet2D(cfg).eval()
+    unet, params = _import_unet_from_twin(cfg, twin)
+
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((1, 1, 64, 64)).astype(np.float32)
+    t = np.array([250], dtype=np.int64)
+    with torch.no_grad():
+        golden = twin(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    ours = unet.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), golden, atol=1e-4)
+
+
+def test_full_vae_torch_parity():
+    """AutoencoderKL twin parity: encoder moments (quant_conv output) and
+    decoder reconstruction, incl. the LDM asymmetric downsample padding."""
+    from torch_twins import TorchAutoencoderKL
+    from audio_diffusion_tpu.models.vae import AutoencoderKL, VAEConfig
+    from audio_diffusion_tpu.utils.torch_import import _check_structure, convert_vae
+
+    cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=2,
+                    latent_channels=2, sample_size=32, norm_num_groups=4)
+    torch.manual_seed(19)
+    twin = TorchAutoencoderKL(cfg).eval()
+    sd = {k: v.numpy() for k, v in twin.state_dict().items()}
+    vae = AutoencoderKL(cfg)
+    template = vae.init_params(jax.random.key(0), sample_hw=(32, 32))
+    params = _check_structure(template, convert_vae(sd, cfg))
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 1, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        moments_golden = twin.encode_moments(torch.from_numpy(x)).numpy()
+        z = moments_golden[:, : cfg.latent_channels]  # mean half
+        dec_golden = twin.decode(torch.from_numpy(z)).numpy()
+
+    posterior = vae.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)), method=vae.encode)
+    ours_moments = np.concatenate(
+        [np.asarray(posterior.mean), np.asarray(posterior.logvar)], axis=-1
+    )
+    np.testing.assert_allclose(ours_moments.transpose(0, 3, 1, 2), moments_golden, atol=1e-4)
+
+    ours_dec = vae.apply({"params": params}, jnp.asarray(z.transpose(0, 2, 3, 1)), method=vae.decode)
+    np.testing.assert_allclose(np.asarray(ours_dec).transpose(0, 3, 1, 2), dec_golden, atol=1e-4)
