@@ -32,12 +32,26 @@ AUDIO_RE = re.compile(r"\.(mp3|wav|m4a)$", re.IGNORECASE)
 
 
 def find_audio_files(input_dir: str) -> List[str]:
-    return [
+    files = [
         os.path.join(root, f)
         for root, _, files in os.walk(input_dir)
         for f in sorted(files)
         if AUDIO_RE.search(f)
     ]
+    compressed = [f for f in files if not f.lower().endswith(".wav")]
+    if compressed:
+        import shutil
+
+        from . import native_audio
+
+        if not native_audio.media_available() and not shutil.which("ffmpeg"):
+            logger.warning(
+                "%d mp3/m4a file(s) found but NO decoder is available (the native "
+                "media decoder needs the system libavformat/libavcodec, and no "
+                "ffmpeg binary was found) — these files will be SKIPPED. First: %s",
+                len(compressed), compressed[0],
+            )
+    return files
 
 
 def file_to_examples(mel: Mel, audio_file: str) -> List[dict]:

@@ -76,16 +76,24 @@ def load_audio(path: str, sample_rate: int = 22050, mono: bool = True) -> np.nda
             return native
     if ext == ".wav":
         audio, sr = _read_wav(path)
-    elif shutil.which("ffmpeg"):
-        if not mono:
-            raise ValueError("non-WAV decoding goes through ffmpeg with a mono downmix; "
-                             "mono=False is only supported for WAV files")
-        audio, sr = _read_via_ffmpeg(path, sample_rate)
     else:
-        raise ValueError(
-            f"Cannot decode {path!r}: only WAV decoding is built in and no ffmpeg "
-            "binary was found for mp3/m4a. Install ffmpeg or convert to WAV."
-        )
+        if not mono:
+            raise ValueError("compressed formats decode with a mono downmix; "
+                             "mono=False is only supported for WAV files")
+        from ..data import native_audio
+
+        decoded = native_audio.load_media(path, sample_rate)
+        if decoded is not None:
+            return decoded
+        if shutil.which("ffmpeg"):
+            audio, sr = _read_via_ffmpeg(path, sample_rate)
+        else:
+            raise ValueError(
+                f"Cannot decode {path!r}: the native media decoder "
+                "(native/mediadec.cpp, needs the system libavformat/libavcodec) "
+                "could not be built and no ffmpeg binary was found. Install the "
+                "ffmpeg libraries or convert to WAV."
+            )
     if mono and audio.shape[0] > 1:
         audio = audio.mean(axis=0, keepdims=True)
     audio = resample(audio, sr, sample_rate)
