@@ -28,6 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.group_norm import group_norm_silu
+from ..ops.pallas_attention import multi_head_attention
 from ..ops.pallas_groupnorm import fused_group_norm_silu
 from ..utils.config import ConfigMixin
 
@@ -64,11 +66,21 @@ class UNetConfig(ConfigMixin):
     flip_sin_to_cos: bool = True
     freq_shift: int = 0
     dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
-    norm_dtype: str = "float32"  # GroupNorm/LayerNorm compute dtype; bf16 halves
-    # the HBM traffic of the memory-bound normalization passes at 256x256
+    norm_dtype: str = "float32"  # LEGACY, ignored: GroupNorms now always use
+    # f32 statistics with compute-dtype I/O (ops/group_norm.py) — numerically
+    # identical at the consuming conv's input, half the HBM traffic of the old
+    # f32-output path, none of the old bf16-stats drift
     fused_groupnorm: bool = False  # Pallas fused GroupNorm+SiLU (bf16 I/O,
     # f32 stats) on the resnet norms — inference-time optimization; the Pallas
     # path has no VJP, so leave False for training
+    fold_skip_concat: bool = False  # normalize [x, skip] piecewise so the raw
+    # up-path concat is never materialized (ops/group_norm.py rationale #2).
+    # MEASURED OFF: on the v5e the piecewise-stats path costs ~1 ms/step MORE
+    # than materializing the concat (XLA fuses the concat into the stats read
+    # better than the two-part reduction graph); kept opt-in as the template
+    # for larger-channel architectures where the concat write dominates
+    dilated_upsample: bool = True  # nearest-x2 + 3x3 conv expressed as ONE
+    # lhs-dilated 4x4 conv: the 2x-broadcast tensor is never materialized
     remat: bool = False
 
     config_name = "config.json"
@@ -80,10 +92,6 @@ class UNetConfig(ConfigMixin):
     @property
     def compute_dtype(self):
         return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
-
-    @property
-    def norm_compute_dtype(self):
-        return jnp.bfloat16 if self.norm_dtype == "bfloat16" else jnp.float32
 
     def sample_hw(self) -> Tuple[int, int]:
         s = self.sample_size
@@ -168,34 +176,113 @@ class FusedGroupNormSiLU(nn.Module):
         return fused_group_norm_silu(x, scale, bias, self.groups, self.eps)
 
 
+class GroupNorm(nn.Module):
+    """GroupNorm in the compute dtype with f32 statistics, optionally over the
+    channel parts of a virtual concat. Parameter tree matches nn.GroupNorm
+    (scale/bias) so checkpoints are interchangeable.
+
+    Single-part path: flax ``nn.GroupNorm(dtype=compute)`` via share_scope —
+    flax forces f32 reductions internally (normalization.py
+    force_float32_reductions), and XLA fuses its exact graph best (measured:
+    34.4 ms/step vs 36.5-37.0 for two hand-written f32-stats formulations on
+    the 256x256 UNet). Emitting the compute dtype halves the write+read vs
+    the old f32-output path; the only numeric delta is one bf16 rounding
+    before SiLU instead of after — the consuming conv quantizes to bf16
+    either way.
+
+    Multi-part path (fold_skip_concat): piecewise statistics via
+    ops/group_norm.py so the raw concat never materializes."""
+
+    groups: int = 32
+    eps: float = 1e-5
+    silu: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts):
+        if isinstance(parts, jnp.ndarray):
+            parts = [parts]
+        if len(parts) > 1:
+            # Exactly one path runs, so the params are created once either way
+            # (same names/shapes as nn.GroupNorm's).
+            c = sum(p.shape[-1] for p in parts)
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            return group_norm_silu(parts, scale, bias, self.groups, self.eps,
+                                   apply_silu=self.silu, out_dtype=self.dtype)
+        gn = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype)
+        nn.share_scope(self, gn)
+        y = gn(parts[0])
+        if self.silu:
+            y = nn.silu(y)
+        return y.astype(self.dtype)
+
+
+class PointwiseConv(nn.Module):
+    """1x1 conv that accepts the channel parts of a virtual concat, so the
+    raw concat is never materialized: conv(concat(parts)) == sum of per-part
+    convs with the kernel sliced along its input axis. Parameter tree matches
+    nn.Conv (kernel (1,1,C,out) + bias)."""
+
+    features: int
+    in_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, self.in_channels, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel[0, 0].astype(self.dtype)  # (C, out)
+        acc = None
+        off = 0
+        for p in parts:
+            ci = p.shape[-1]
+            y = jnp.einsum("bhwc,co->bhwo", p.astype(self.dtype), k[off : off + ci])
+            acc = y if acc is None else acc + y
+            off += ci
+        return acc + bias.astype(self.dtype)
+
+
 class ResnetBlock2D(nn.Module):
+    """Pre-norm ResNet block. ``skip`` (the UNet up-path skip tensor) is taken
+    as a separate argument instead of a pre-concatenated input: norm1 and the
+    shortcut consume the parts directly (fold_skip_concat), so the raw
+    ``concat([x, skip])`` — a full write+read of the doubled tensor — never
+    touches HBM."""
+
     out_channels: int
     groups: int = 32
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
-    norm_dtype: jnp.dtype = jnp.float32
     fused_norm: bool = False
 
-    def _norm_silu(self, x, name):
-        if self.fused_norm:
-            return FusedGroupNormSiLU(self.groups, self.eps, name=name)(x.astype(self.dtype))
-        return nn.silu(nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype, name=name)(x))
-
     @nn.compact
-    def __call__(self, x, temb):
-        in_channels = x.shape[-1]
-        h = self._norm_silu(x, "norm1")
+    def __call__(self, x, temb, skip=None):
+        parts = [x] if skip is None else [x, skip]
+        in_channels = sum(p.shape[-1] for p in parts)
+
+        if self.fused_norm and skip is None:
+            h = FusedGroupNormSiLU(self.groups, self.eps, name="norm1")(x.astype(self.dtype))
+        else:
+            h = GroupNorm(self.groups, self.eps, silu=True, dtype=self.dtype, name="norm1")(parts)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
 
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
 
-        h = self._norm_silu(h, "norm2")
+        if self.fused_norm:
+            h = FusedGroupNormSiLU(self.groups, self.eps, name="norm2")(h.astype(self.dtype))
+        else:
+            h = GroupNorm(self.groups, self.eps, silu=True, dtype=self.dtype, name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
 
         if in_channels != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
-        return x + h
+            res = PointwiseConv(self.out_channels, in_channels, self.dtype, name="conv_shortcut")(parts)
+        else:
+            res = x if skip is None else jnp.concatenate(parts, axis=-1)
+        return res + h
 
 
 class SelfAttention2D(nn.Module):
@@ -206,23 +293,26 @@ class SelfAttention2D(nn.Module):
     groups: int = 32
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
-    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         num_heads = max(C // self.head_dim, 1)
         residual = x
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype, name="group_norm")(x)
+        h = GroupNorm(self.groups, self.eps, silu=False, dtype=self.dtype, name="group_norm")(x)
         h = h.reshape(B, H * W, C)
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
-        q = q.reshape(B, H * W, num_heads, C // num_heads)
-        k = k.reshape(B, H * W, num_heads, C // num_heads)
-        v = v.reshape(B, H * W, num_heads, C // num_heads)
-        o = jax.nn.dot_product_attention(q, k, v)
-        o = o.reshape(B, H * W, C)
+        # (B, heads, N, d) for the Pallas many-small-heads kernel: with the
+        # diffusers head convention (64 heads of dim 8 at 512 ch) the logits
+        # are the UNet's single biggest HBM interlude (ops/pallas_attention.py).
+        hd = C // num_heads
+        q = q.reshape(B, H * W, num_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, H * W, num_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, H * W, num_heads, hd).transpose(0, 2, 1, 3)
+        o = multi_head_attention(q, k, v)
+        o = o.transpose(0, 2, 1, 3).reshape(B, H * W, C)
         o = nn.Dense(C, dtype=self.dtype, name="to_out")(o)
         return o.reshape(B, H, W, C) + residual
 
@@ -261,7 +351,10 @@ class FeedForwardGEGLU(nn.Module):
         inner = self.dim * self.mult
         h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        # Exact (erf) gelu: diffusers GEGLU uses torch F.gelu's default, not
+        # the tanh approximation (checkpoint-parity; gated by the torch-twin
+        # conditional test at atol 1e-4).
+        h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
 
 
@@ -302,7 +395,7 @@ class Transformer2D(nn.Module):
     def __call__(self, x, context):
         B, H, W, C = x.shape
         residual = x
-        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        h = GroupNorm(self.groups, 1e-6, silu=False, dtype=self.dtype, name="norm")(x)
         h = h.reshape(B, H * W, C)
         h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)
         h = TransformerBlock(C, self.num_heads, self.head_dim, self.dtype, name="transformer_blocks_0")(h, context)
@@ -319,16 +412,79 @@ class Downsample2D(nn.Module):
         return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype, name="conv")(x)
 
 
-class Upsample2D(nn.Module):
-    out_channels: int
+class _DilatedUpConv(nn.Module):
+    """nearest-x2 upsample + 3x3 conv as ONE lhs-dilated conv.
+
+    ``conv3x3(nearest_up2(x))`` reads x, writes the 4x-size broadcast, then
+    the conv reads it again — two full passes of the upsampled tensor. The
+    same function is exactly a 4x4 conv on the ORIGINAL x with lhs_dilation=2
+    and padding (2, 2): even output rows 2m read x[m-1]*K0 + x[m]*(K1+K2),
+    odd rows 2m+1 read x[m]*(K0+K1) + x[m+1]*K2, so the 3-tap kernel folds
+    into 4 taps ``[K0, K0+K1, K1+K2, K2]`` per axis (equivalence verified
+    numerically in tests). Parameter tree matches nn.Conv with the original
+    (3, 3, C, out) kernel, so checkpoints are unchanged."""
+
+    features: int
     dtype: jnp.dtype = jnp.float32
+
+    # Tap-combination matrix: k4[r] = sum_u M[r, u] * k3[u].
+    _M = np.array([[1, 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]], np.float32)
 
     @nn.compact
     def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        m = jnp.asarray(self._M)
+        k4 = jnp.einsum("ru,cv,uvio->rcio", m, m, kernel.astype(jnp.float32)).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            k4,
+            window_strides=(1, 1),
+            padding=((2, 2), (2, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    dilated: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.dilated:
+            return _DilatedUpConv(self.out_channels, self.dtype, name="conv")(x)
         B, H, W, C = x.shape
         # Nearest-neighbor x2 as broadcast+reshape (cheaper than generic resize).
         x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C)).reshape(B, H * 2, W * 2, C)
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class _F32AccumConv(nn.Module):
+    """3x3 conv that reads its input in the compute dtype but accumulates and
+    emits f32 (preferred_element_type) — full-precision epsilon prediction at
+    half the input traffic of an f32-input conv. Parameter tree matches
+    nn.Conv (kernel/bias)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, dtype):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return y + bias.astype(jnp.float32)
 
 
 # ----------------------------------------------------------------------- UNet
@@ -367,7 +523,6 @@ class UNet2D(nn.Module):
         """
         cfg = self.config
         dtype = cfg.compute_dtype
-        ndt = cfg.norm_compute_dtype
         fused = cfg.fused_groupnorm
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -400,10 +555,10 @@ class UNet2D(nn.Module):
             out_ch = cfg.block_out_channels[i]
             is_final = i == len(cfg.block_out_channels) - 1
             for j in range(cfg.layers_per_block):
-                x = Res(out_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, fused, name=f"down_{i}_res_{j}")(x, temb)
+                x = Res(out_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, fused, name=f"down_{i}_res_{j}")(x, temb)
                 if block_type == "AttnDownBlock2D":
                     heads, hd = self._heads(out_ch)
-                    x = Attn(hd, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, name=f"down_{i}_attn_{j}")(x)
+                    x = Attn(hd, cfg.norm_num_groups, cfg.norm_eps, dtype, name=f"down_{i}_attn_{j}")(x)
                 elif block_type == "CrossAttnDownBlock2D":
                     heads, hd = self._cross_heads(out_ch)
                     x = Xfmr(heads, hd, cfg.norm_num_groups, dtype, name=f"down_{i}_xattn_{j}")(
@@ -416,7 +571,7 @@ class UNet2D(nn.Module):
 
         # ----------------------------------------------------------- mid block
         mid_ch = cfg.block_out_channels[-1]
-        x = Res(mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, fused, name="mid_res_0")(x, temb)
+        x = Res(mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, fused, name="mid_res_0")(x, temb)
         if cfg.is_conditional:
             heads, hd = self._cross_heads(mid_ch)
             x = Xfmr(heads, hd, cfg.norm_num_groups, dtype, name="mid_xattn")(
@@ -424,8 +579,8 @@ class UNet2D(nn.Module):
             )
         else:
             heads, hd = self._heads(mid_ch)
-            x = Attn(hd, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, name="mid_attn")(x)
-        x = Res(mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, fused, name="mid_res_1")(x, temb)
+            x = Attn(hd, cfg.norm_num_groups, cfg.norm_eps, dtype, name="mid_attn")(x)
+        x = Res(mid_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, fused, name="mid_res_1")(x, temb)
 
         # ------------------------------------------------------------ up path
         reversed_channels = tuple(reversed(cfg.block_out_channels))
@@ -434,23 +589,30 @@ class UNet2D(nn.Module):
             is_final = i == len(cfg.block_out_channels) - 1
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
-                x = jnp.concatenate([x, skip], axis=-1)
-                x = Res(out_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, fused, name=f"up_{i}_res_{j}")(x, temb)
+                if cfg.fold_skip_concat:
+                    x = Res(out_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, fused,
+                            name=f"up_{i}_res_{j}")(x, temb, skip)
+                else:
+                    x = jnp.concatenate([x, skip], axis=-1)
+                    x = Res(out_ch, cfg.norm_num_groups, cfg.norm_eps, dtype, fused,
+                            name=f"up_{i}_res_{j}")(x, temb)
                 if block_type == "AttnUpBlock2D":
                     heads, hd = self._heads(out_ch)
-                    x = Attn(hd, cfg.norm_num_groups, cfg.norm_eps, dtype, ndt, name=f"up_{i}_attn_{j}")(x)
+                    x = Attn(hd, cfg.norm_num_groups, cfg.norm_eps, dtype, name=f"up_{i}_attn_{j}")(x)
                 elif block_type == "CrossAttnUpBlock2D":
                     heads, hd = self._cross_heads(out_ch)
                     x = Xfmr(heads, hd, cfg.norm_num_groups, dtype, name=f"up_{i}_xattn_{j}")(
                         x, encoder_hidden_states
                     )
             if not is_final:
-                x = Upsample2D(out_ch, dtype, name=f"up_{i}_upsample")(x)
+                x = Upsample2D(out_ch, dtype, cfg.dilated_upsample, name=f"up_{i}_upsample")(x)
 
         # ---------------------------------------------------------------- out
-        x = nn.GroupNorm(cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=ndt, name="conv_norm_out")(x)
-        x = nn.silu(x)
-        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32, name="conv_out")(x)
+        # Final norm emits compute dtype; the conv reads bf16 but accumulates
+        # in f32 (preferred_element_type) so the epsilon prediction keeps full
+        # output precision at half the input traffic.
+        x = GroupNorm(cfg.norm_num_groups, cfg.norm_eps, silu=True, dtype=dtype, name="conv_norm_out")(x)
+        x = _F32AccumConv(cfg.out_channels, name="conv_out")(x, dtype)
         return x.astype(jnp.float32)
 
     def init_params(self, key: jax.Array, batch_size: int = 1):

@@ -153,10 +153,12 @@ class Decoder(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 x = VAEResnetBlock(out_ch, cfg.norm_num_groups, dtype, name=f"up_{i}_res_{j}")(x)
             if i != len(reversed_ch) - 1:
-                B, H, W, C = x.shape
-                # Nearest x2 as broadcast+reshape (cheaper than generic resize).
-                x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C)).reshape(B, H * 2, W * 2, C)
-                x = nn.Conv(out_ch, (3, 3), padding=1, dtype=dtype, name=f"up_{i}_upsample")(x)
+                # nearest-x2 + conv3x3 as ONE lhs-dilated conv: the broadcast
+                # tensor never materializes (see unet2d._DilatedUpConv; same
+                # kernel parameters, equivalence tested).
+                from .unet2d import _DilatedUpConv
+
+                x = _DilatedUpConv(out_ch, dtype, name=f"up_{i}_upsample")(x)
         x = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32, name="conv_out")(x)

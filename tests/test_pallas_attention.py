@@ -1,0 +1,75 @@
+"""Pallas many-small-heads attention kernel gates (ops/pallas_attention.py):
+numeric parity with the jnp reference in interpret mode, gradient correctness
+through the custom VJP, and dispatch behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_diffusion_tpu.ops.pallas_attention import (
+    _flash_mha_fwd,
+    _pick_head_tile,
+    flash_mha,
+    multi_head_attention,
+    reference_attention,
+)
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 64, 8), (1, 64, 256, 8), (2, 4, 128, 32), (1, 2, 64, 128)])
+def test_kernel_matches_reference(shape):
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape).astype(np.float32)) for _ in range(3))
+    ref = reference_attention(q, k, v)
+    out = _flash_mha_fwd(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_kernel_matches_jax_dot_product_attention():
+    """Same semantics (head partitioning + 1/sqrt(d) scale) as the stock
+    jax.nn.dot_product_attention the UNet previously used."""
+    rng = np.random.default_rng(1)
+    b, h, n, d = 2, 16, 64, 8
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32)) for _ in range(3))
+    golden = jax.nn.dot_product_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+    ).transpose(0, 2, 1, 3)
+    out = _flash_mha_fwd(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(golden), atol=1e-5)
+
+
+def test_gradient_matches_reference():
+    """custom_vjp backward == autodiff of the reference math."""
+    rng = np.random.default_rng(2)
+    shape = (1, 4, 32, 8)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape).astype(np.float32)) for _ in range(3))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(reference_attention(q, k, v)))
+
+    def loss_kernel(q, k, v):
+        # multi_head_attention dispatches to the reference off-TPU; exercise
+        # the custom_vjp path directly (forward uses the kernel wrapper).
+        return jnp.sum(jnp.sin(flash_mha(q, k, v)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_ker = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ker, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_head_tile_picker():
+    assert _pick_head_tile(64, 256, 8, 2) == 8
+    assert _pick_head_tile(2, 64, 8, 4) == 2
+    assert _pick_head_tile(1, 4096, 128, 4) == 1
+    # divides h even when 8 doesn't
+    assert _pick_head_tile(12, 256, 8, 2) in (6, 4, 3, 2, 1)
+    assert 12 % _pick_head_tile(12, 256, 8, 2) == 0
+
+
+def test_dispatch_falls_back_off_tpu():
+    """On the CPU test backend multi_head_attention must use the reference."""
+    rng = np.random.default_rng(3)
+    q, k, v = (jnp.asarray(rng.standard_normal((1, 2, 16, 8)).astype(np.float32)) for _ in range(3))
+    out = multi_head_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(reference_attention(q, k, v)), atol=1e-6)

@@ -157,3 +157,75 @@ def test_cross_attention_head_convention():
     assert model._cross_heads(16) == (4, 4)  # cross: 4 heads of dim 16/4
     assert model._heads(64) == (16, 4)       # diverge at larger widths
     assert model._cross_heads(64) == (4, 16)
+
+
+# ------------------------------------------------- HBM-traffic optimizations
+
+def test_group_norm_silu_parts_equivalence():
+    """Piecewise GroupNorm over [x, skip] (fold_skip_concat) must equal the
+    norm of the materialized concat — including groups that straddle the
+    part boundary (channels 24 = 12+12 with 8 groups of size 3)."""
+    from audio_diffusion_tpu.ops.group_norm import group_norm_silu
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((2, 4, 4, 12)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((2, 4, 4, 12)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(24).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(24).astype(np.float32))
+
+    whole = group_norm_silu(jnp.concatenate([a, b], -1), scale, bias, 8, 1e-5)
+    parts = group_norm_silu([a, b], scale, bias, 8, 1e-5)
+    np.testing.assert_allclose(np.asarray(parts), np.asarray(whole), atol=1e-6)
+
+
+def test_group_norm_silu_matches_flax_reference():
+    """f32-stats GN+SiLU == flax nn.GroupNorm(f32) + silu at f32 I/O."""
+    from flax import linen as fnn
+
+    from audio_diffusion_tpu.ops.group_norm import group_norm_silu
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+    ref = fnn.GroupNorm(4, epsilon=1e-5).apply(
+        {"params": {"scale": scale, "bias": bias}}, x
+    )
+    ref = np.asarray(ref * jax.nn.sigmoid(ref))
+    ours = np.asarray(group_norm_silu(x, scale, bias, 4, 1e-5))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_dilated_upsample_matches_broadcast_conv():
+    """The lhs-dilated 4x4 conv must equal nearest-x2 + 3x3 conv with the
+    SAME (3,3,C,out) kernel parameters (checkpoint compatibility)."""
+    from audio_diffusion_tpu.models.unet2d import Upsample2D
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 5, 7, 6)).astype(np.float32))
+    mod_d = Upsample2D(4, dilated=True)
+    mod_b = Upsample2D(4, dilated=False)
+    params = mod_b.init(jax.random.key(0), x)["params"]
+    golden = mod_b.apply({"params": params}, x)
+    ours = mod_d.apply({"params": params}, x)
+    assert ours.shape == (2, 10, 14, 4)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(golden), atol=1e-5)
+
+
+def test_fold_skip_concat_equals_materialized():
+    """Full UNet forward with fold_skip_concat on vs off, same params."""
+    import dataclasses as dc
+
+    cfg_on = UNetConfig(sample_size=(16, 16), block_out_channels=(8, 16),
+                        down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+                        up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+                        layers_per_block=2, norm_num_groups=4,
+                        attention_head_dim=4, fold_skip_concat=True)
+    cfg_off = dc.replace(cfg_on, fold_skip_concat=False)
+    unet_on, unet_off = UNet2D(cfg_on), UNet2D(cfg_off)
+    params = unet_on.init_params(jax.random.key(0))
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 16, 16, 1)).astype(np.float32))
+    t = jnp.asarray([3, 77])
+    a = unet_on.apply({"params": params}, x, t)
+    b = unet_off.apply({"params": params}, x, t)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
