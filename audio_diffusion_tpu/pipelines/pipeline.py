@@ -181,6 +181,7 @@ class AudioDiffusionPipeline:
         return_dict: bool = True,
         return_images_only: bool = False,
         return_arrays: bool = False,
+        pcm16: bool = False,
     ):
         """Generate mel spectrograms (and audio) — reference: pipeline:72-205.
 
@@ -262,6 +263,18 @@ class AudioDiffusionPipeline:
             return np.asarray(raw_dev)
 
         audios_dev = self.mel.images_to_audio(raw_dev, key=gl_key)
+        if pcm16:
+            # Peak-normalize + quantize to 16-bit PCM ON DEVICE (exactly what
+            # the apps deliver, apps.wav_bytes): halves the device-to-host
+            # payload, which dominates serving latency on bandwidth-limited
+            # links.
+            if "pcm16" not in self._compiled:
+                def _pcm16(a):
+                    peak = jnp.maximum(jnp.max(jnp.abs(a), axis=-1, keepdims=True), 1e-12)
+                    return jnp.clip(a / peak * 32767.0, -32768, 32767).astype(jnp.int16)
+
+                self._compiled["pcm16"] = jax.jit(_pcm16)
+            audios_dev = self._compiled["pcm16"](audios_dev)
         if return_arrays:
             # Device arrays, no host sync: lets a serving loop overlap the
             # next batch's compute with this batch's device-to-host transfer.
@@ -313,6 +326,18 @@ class AudioDiffusionPipeline:
         return jnp.sin((1 - alpha) * theta) / sin_theta * x0 + jnp.sin(alpha * theta) / sin_theta * x1
 
     # ------------------------------------------------------------- persistence
+    @staticmethod
+    def _write_atomic(path: str, data: bytes) -> None:
+        """tmp + rename so a killed process never leaves a truncated params
+        file behind (same contract as the training checkpoints; a 0-byte
+        params.msgpack from an interrupted save is unrecoverable)."""
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+
     def save_pretrained(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)
         index = {
@@ -327,8 +352,8 @@ class AudioDiffusionPipeline:
 
         unet_dir = os.path.join(directory, "unet")
         self.unet.config.save_config(unet_dir)
-        with open(os.path.join(unet_dir, "params.msgpack"), "wb") as fh:
-            fh.write(serialization.to_bytes(self.unet_params))
+        self._write_atomic(os.path.join(unet_dir, "params.msgpack"),
+                           serialization.to_bytes(self.unet_params))
 
         save_scheduler(self.scheduler, os.path.join(directory, "scheduler"))
         self.mel.save_pretrained(os.path.join(directory, "mel"))
@@ -336,8 +361,25 @@ class AudioDiffusionPipeline:
         if self.vqvae is not None:
             vae_dir = os.path.join(directory, "vqvae")
             self.vqvae.config.save_config(vae_dir)
-            with open(os.path.join(vae_dir, "params.msgpack"), "wb") as fh:
-                fh.write(serialization.to_bytes(self.vqvae_params))
+            self._write_atomic(os.path.join(vae_dir, "params.msgpack"),
+                               serialization.to_bytes(self.vqvae_params))
+
+    @staticmethod
+    def _read_params(path: str, template):
+        """Deserialize a params file with an actionable error for truncation
+        (a 0-byte file means a save was interrupted pre-atomic-rename)."""
+        with open(path, "rb") as fh:
+            data = fh.read()
+        if not data:
+            raise ValueError(
+                f"{path!r} is empty — the save that wrote it was interrupted. "
+                "Re-save the pipeline (saves are atomic now) or restore from a "
+                "training checkpoint."
+            )
+        try:
+            return serialization.from_bytes(template, data)
+        except Exception as e:  # msgpack raises bare ValueError
+            raise ValueError(f"{path!r} is corrupt or truncated: {e}") from e
 
     @classmethod
     def from_pretrained(cls, directory: str) -> "AudioDiffusionPipeline":
@@ -363,8 +405,7 @@ class AudioDiffusionPipeline:
         unet_cfg = UNetConfig.from_pretrained(unet_dir)
         unet = UNet2D(unet_cfg)
         template = unet.init_params(jax.random.key(0))
-        with open(os.path.join(unet_dir, "params.msgpack"), "rb") as fh:
-            unet_params = serialization.from_bytes(template, fh.read())
+        unet_params = cls._read_params(os.path.join(unet_dir, "params.msgpack"), template)
 
         scheduler = load_scheduler(os.path.join(directory, "scheduler"))
         mel = Mel.from_pretrained(os.path.join(directory, "mel"))
@@ -377,7 +418,6 @@ class AudioDiffusionPipeline:
             vae_cfg = VAEConfig.from_pretrained(vae_dir)
             vqvae = AutoencoderKL(vae_cfg)
             vae_template = vqvae.init_params(jax.random.key(0))
-            with open(os.path.join(vae_dir, "params.msgpack"), "rb") as fh:
-                vqvae_params = serialization.from_bytes(vae_template, fh.read())
+            vqvae_params = cls._read_params(os.path.join(vae_dir, "params.msgpack"), vae_template)
 
         return cls(unet, unet_params, mel, scheduler, vqvae, vqvae_params)

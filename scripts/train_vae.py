@@ -125,8 +125,12 @@ def main(argv=None):
         # Save each epoch (reference: HFModelCheckpoint on_train_epoch_end).
         os.makedirs(a.hf_checkpoint_dir, exist_ok=True)
         vae_cfg.save_config(a.hf_checkpoint_dir)
-        with open(os.path.join(a.hf_checkpoint_dir, "params.msgpack"), "wb") as fh:
-            fh.write(serialization.to_bytes(jax.device_get(state.params["vae"])))
+        from audio_diffusion_tpu.pipelines.pipeline import AudioDiffusionPipeline
+
+        AudioDiffusionPipeline._write_atomic(
+            os.path.join(a.hf_checkpoint_dir, "params.msgpack"),
+            serialization.to_bytes(jax.device_get(state.params["vae"])),
+        )
         if a.max_steps and step >= a.max_steps:
             break
     print({"steps": step, "seconds": time.time() - t0, "output": a.hf_checkpoint_dir})

@@ -250,3 +250,22 @@ def test_postprocess_single_channel_roundtrip():
     out = np.asarray(postprocess_images(x))
     assert out.shape == (1, 16, 16)
     assert out.min() == 0 and out.max() == 255
+
+
+def test_pcm16_delivery_path():
+    """pcm16=True returns peak-normalized int16 PCM device arrays (the WAV
+    delivery format the apps produce; used by bench.py serving loop)."""
+    cfg = UNetConfig(sample_size=(16, 16), block_out_channels=(8, 16),
+                     down_block_types=("DownBlock2D", "DownBlock2D"),
+                     up_block_types=("UpBlock2D", "UpBlock2D"),
+                     layers_per_block=1, norm_num_groups=4)
+    unet = UNet2D(cfg)
+    pipe = AudioDiffusionPipeline(unet, unet.init_params(jax.random.key(0)),
+                                  Mel(x_res=16, y_res=16, n_iter=2), DDIMScheduler())
+    raw, audio = pipe(batch_size=2, steps=2, key=jax.random.key(1),
+                      return_arrays=True, pcm16=True)
+    audio = np.asarray(audio)
+    assert audio.dtype == np.int16
+    assert audio.shape[0] == 2
+    # peak normalization puts each clip at (close to) full scale
+    assert (np.abs(audio).max(axis=-1) >= 32700).all()
