@@ -99,6 +99,7 @@ def main(argv=None):
     )
     result = run_training(run, train)
     print(result)
+    return result
 
 
 if __name__ == "__main__":
