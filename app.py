@@ -3,9 +3,7 @@ audio + a beat-tracked loop. Requires `pip install gradio` (not bundled)."""
 
 import argparse
 
-import numpy as np
-
-from audio_diffusion_tpu.audio_diffusion import AudioDiffusion
+from audio_diffusion_tpu.apps import MODELS, generate_spectrogram_audio_and_loop
 
 try:
     import gradio as gr
@@ -13,31 +11,6 @@ except ImportError as e:  # pragma: no cover - optional dependency
     raise SystemExit(
         "gradio is not installed in this environment; `pip install gradio` to run the demo app"
     ) from e
-
-
-# NOTE: these are Hugging Face Hub IDs; download each repository locally first
-# (this framework loads local directories only) or replace with your own paths.
-MODELS = [
-    "teticio/audio-diffusion-256",
-    "teticio/audio-diffusion-breaks-256",
-    "teticio/audio-diffusion-instrumental-hiphop-256",
-    "teticio/audio-diffusion-ddim-256",
-    "teticio/latent-audio-diffusion-256",
-    "teticio/latent-audio-diffusion-ddim-256",
-]
-
-_cache = {}
-
-
-def generate_spectrogram_audio_and_loop(model_id: str):
-    if model_id not in _cache:
-        _cache[model_id] = AudioDiffusion(model_id=model_id)
-    audio_diffusion = _cache[model_id]
-    image, (sample_rate, audio) = audio_diffusion.generate_spectrogram_and_audio()
-    loop = AudioDiffusion.loop_it(audio, sample_rate)
-    if loop is None:
-        loop = audio
-    return image, (sample_rate, np.asarray(audio)), (sample_rate, np.asarray(loop))
 
 
 demo = gr.Interface(

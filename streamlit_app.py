@@ -1,8 +1,6 @@
 """Streamlit demo app (reference: streamlit_app.py). Requires
 `pip install streamlit` (not bundled)."""
 
-from io import BytesIO
-
 import numpy as np
 
 try:
@@ -12,26 +10,13 @@ except ImportError as e:  # pragma: no cover - optional dependency
         "streamlit is not installed in this environment; `pip install streamlit` to run"
     ) from e
 
+from audio_diffusion_tpu.apps import wav_bytes
 from audio_diffusion_tpu.audio_diffusion import AudioDiffusion
-from audio_diffusion_tpu.ops.audio_io import normalize
 
 
 @st.cache_resource
 def load_model(model_id: str) -> AudioDiffusion:
     return AudioDiffusion(model_id=model_id)
-
-
-def wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
-    import wave
-
-    pcm = np.clip(normalize(audio) * 32767.0, -32768, 32767).astype(np.int16)
-    buf = BytesIO()
-    with wave.open(buf, "wb") as fh:
-        fh.setnchannels(1)
-        fh.setsampwidth(2)
-        fh.setframerate(sample_rate)
-        fh.writeframes(pcm.tobytes())
-    return buf.getvalue()
 
 
 if __name__ == "__main__":
