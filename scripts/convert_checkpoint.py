@@ -1,12 +1,17 @@
 #!/usr/bin/env python
-"""Convert a torch diffusers AudioDiffusionPipeline directory (the published
-teticio/* checkpoints, downloaded locally) into this framework's native format
-— the pipeline analog of the reference's LDM->diffusers converter
-(reference: audiodiffusion/utils.py:294-303).
+"""Convert AudioDiffusionPipeline checkpoints between the torch diffusers
+on-disk layout and this framework's native format — both directions.
 
+    # torch (published teticio/* dirs, downloaded) -> native
     python scripts/convert_checkpoint.py --input path/to/torch_dir --output models/native_dir
 
-After conversion, loads skip the torch dependency and the key-mapping pass.
+    # native (trained here) -> torch diffusers layout, loadable by the
+    # reference stack via DiffusionPipeline.from_pretrained
+    python scripts/convert_checkpoint.py --input models/native_dir --output path/to/torch_dir --to torch
+
+The import direction is the pipeline analog of the reference's LDM->diffusers
+converter (reference: audiodiffusion/utils.py:294-303); the export direction
+completes the interop loop (train on TPU, deploy in torch).
 """
 
 import argparse
@@ -17,16 +22,25 @@ sys.path.insert(0, ".")
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", type=str, required=True, help="torch diffusers pipeline directory")
-    p.add_argument("--output", type=str, required=True, help="destination directory (native format)")
+    p.add_argument("--input", type=str, required=True, help="source pipeline directory")
+    p.add_argument("--output", type=str, required=True, help="destination directory")
+    p.add_argument("--to", type=str, default="native", choices=["native", "torch"],
+                   help="output format (default: native; source format is auto-detected)")
     a = p.parse_args(argv)
 
-    from audio_diffusion_tpu.utils.torch_import import pipeline_from_torch_pretrained
+    import jax
 
-    pipe = pipeline_from_torch_pretrained(a.input)
-    pipe.save_pretrained(a.output)
-    n_params = sum(x.size for x in __import__("jax").tree_util.tree_leaves(pipe.unet_params))
-    print({"output": a.output, "unet_params": n_params, "latent": pipe.is_latent})
+    from audio_diffusion_tpu.pipelines.pipeline import AudioDiffusionPipeline
+
+    pipe = AudioDiffusionPipeline.from_pretrained(a.input)  # auto-detects torch vs native
+    if a.to == "torch":
+        from audio_diffusion_tpu.utils.torch_export import save_pipeline_torch
+
+        save_pipeline_torch(pipe, a.output)
+    else:
+        pipe.save_pretrained(a.output)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(pipe.unet_params))
+    print({"output": a.output, "format": a.to, "unet_params": n_params, "latent": pipe.is_latent})
 
 
 if __name__ == "__main__":
