@@ -97,9 +97,14 @@ def main(argv=None):
             # phase begins (reference recipe: disc_factor gates at disc_start,
             # config/ldm_autoencoder_kl.yaml:13).
             if step < a.disc_start or step % 2 == 0:
-                state, metrics = gen_step(state, batch, key)
+                state, gen_metrics = gen_step(state, batch, key)
+                metrics = dict(gen_metrics)
             else:
-                state, metrics = disc_step(state, batch, key)
+                state, disc_metrics = disc_step(state, batch, key)
+                # Merge so gen metrics stay visible in the every-50 logs once
+                # the phases alternate (multiples of 50 always land on disc
+                # steps post-disc_start otherwise).
+                metrics = {**gen_metrics, **disc_metrics}
             step += 1
             if step % 50 == 0 or step == 1:
                 logs = {k: float(v) for k, v in metrics.items()}
