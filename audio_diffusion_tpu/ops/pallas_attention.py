@@ -14,9 +14,12 @@ PV in registers/VMEM, and write only the (N, d) output. HBM traffic drops
 from O(h*N^2) to O(h*N*d) — 16x for d=8 vs N=256.
 
 Applicability: N (tokens) and heads-per-tile such that q/k/v tiles plus one
-f32 (N, N) score block fit VMEM — true for every resolution this UNet family
-attends at (N <= 4096 tokens at 512x512 with 8x downsampling). Falls back to
-the jnp reference off-TPU or when shapes do not qualify.
+f32 (N, N) score block fit VMEM. Measured on the v5e: N=1024 (4 MB scores)
+compiles and matches the reference; N=2048 (16 MB) fails TPU compilation —
+so the dispatch cap is N <= 1024, which covers every resolution this UNet
+family attends at (attention sits at /16: 16x16=256 tokens at 256x256,
+32x32=1024 at 512x512). Falls back to the jnp reference off-TPU or when
+shapes do not qualify.
 
 Training: wrapped in jax.custom_vjp — forward runs the kernel, backward
 recomputes with the jnp reference and differentiates through it (attention is
@@ -34,9 +37,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# One f32 (N, N) score block per in-flight head tile; keep q/k/v/o tiles plus
-# scores comfortably under VMEM (~16 MB).
-MAX_TOKENS = 4096
+# One f32 (N, N) score block lives in VMEM per in-flight head. N=1024 (4 MB)
+# is the largest measured-working size on the v5e; N=2048 (16 MB) fails to
+# compile — larger N dispatches to the jnp reference instead.
+MAX_TOKENS = 1024
 
 
 def reference_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
@@ -122,16 +126,16 @@ def _on_tpu() -> bool:
         return False
 
 
+def shapes_qualify(n: int, d: int) -> bool:
+    """True when the kernel's VMEM budget holds for (N, d) (see MAX_TOKENS)."""
+    return n <= MAX_TOKENS and d <= 128 and n % 8 == 0
+
+
 def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Dispatch: Pallas kernel on TPU for qualifying shapes, jnp reference
     otherwise. Layout (B, heads, N, d) — same convention and softmax scale as
     ``jax.nn.dot_product_attention`` with (B, N, heads, d) transposed in."""
     b, h, n, d = q.shape
-    if (
-        _on_tpu()
-        and n <= MAX_TOKENS
-        and d <= 128
-        and n % 8 == 0
-    ):
+    if _on_tpu() and shapes_qualify(n, d):
         return flash_mha(q, k, v)
     return reference_attention(q, k, v)

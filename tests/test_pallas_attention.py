@@ -67,6 +67,20 @@ def test_head_tile_picker():
     assert 12 % _pick_head_tile(12, 256, 8, 2) == 0
 
 
+def test_shape_qualification_vmem_cap():
+    """The dispatch cap tracks the measured VMEM limit on the v5e: the f32
+    (N, N) score block lives in VMEM, N=1024 (4 MB) compiles, N=2048 (16 MB)
+    fails TPU compilation — so those shapes must route to the reference."""
+    from audio_diffusion_tpu.ops.pallas_attention import shapes_qualify
+
+    assert shapes_qualify(256, 8)      # 256x256 generation (16x16 tokens... per /16 res)
+    assert shapes_qualify(1024, 8)     # 512x512 generation
+    assert not shapes_qualify(2048, 8)   # measured compile failure on v5e
+    assert not shapes_qualify(4096, 8)
+    assert not shapes_qualify(260, 8)    # lane alignment
+    assert not shapes_qualify(256, 256)  # head dim past one VMEM tile
+
+
 def test_dispatch_falls_back_off_tpu():
     """On the CPU test backend multi_head_attention must use the reference."""
     rng = np.random.default_rng(3)
