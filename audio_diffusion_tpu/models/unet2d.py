@@ -463,6 +463,42 @@ class Upsample2D(nn.Module):
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 
+@jax.custom_vjp
+def _conv3x3_f32_out(x, kernel):
+    """3x3 conv over compute-dtype operands that accumulates and emits f32."""
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _conv3x3_f32_out_fwd(x, kernel):
+    return _conv3x3_f32_out(x, kernel), (x, kernel)
+
+
+def _conv3x3_f32_out_bwd(res, dy):
+    # JAX cannot transpose a mixed-dtype conv (bf16 operands, f32
+    # preferred_element_type output): the transpose rule would convolve the
+    # f32 cotangent against the bf16 kernel and reject the dtype mix. Round
+    # the cotangent to the compute dtype and differentiate the same-dtype
+    # conv instead — the forward's f32 accumulation only affects output
+    # rounding, so the gradients agree to compute-dtype precision.
+    x, kernel = res
+    conv = lambda x_, k_: jax.lax.conv_general_dilated(
+        x_, k_, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    _, vjp = jax.vjp(conv, x, kernel)
+    return vjp(dy.astype(x.dtype))
+
+
+_conv3x3_f32_out.defvjp(_conv3x3_f32_out_fwd, _conv3x3_f32_out_bwd)
+
+
 class _F32AccumConv(nn.Module):
     """3x3 conv that reads its input in the compute dtype but accumulates and
     emits f32 (preferred_element_type) — full-precision epsilon prediction at
@@ -476,14 +512,7 @@ class _F32AccumConv(nn.Module):
         cin = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=(1, 1),
-            padding=((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )
+        y = _conv3x3_f32_out(x.astype(dtype), kernel.astype(dtype))
         return y + bias.astype(jnp.float32)
 
 

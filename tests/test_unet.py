@@ -107,6 +107,43 @@ def test_bfloat16_compute():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_bfloat16_grad():
+    """Regression: grad through the f32-accum conv_out with bf16 compute.
+
+    JAX cannot transpose the mixed-dtype conv (bf16 operands with f32
+    preferred_element_type) — the custom VJP on _conv3x3_f32_out must keep
+    bf16 training differentiable, and its gradients must track the f32
+    model's to compute-dtype precision.
+    """
+    x = jax.random.normal(jax.random.key(1), (2, 16, 16, 1))
+    t = jnp.array([5, 17])
+    eps = jax.random.normal(jax.random.key(2), (2, 16, 16, 1))
+
+    def grads_for(dtype):
+        model = UNet2D(tiny_config(dtype=dtype))
+        params = model.init_params(jax.random.key(0))
+
+        def loss_fn(p):
+            pred = model.apply({"params": p}, x, t)
+            return jnp.mean((pred - eps) ** 2)
+
+        return jax.jit(jax.value_and_grad(loss_fn))(params)
+
+    loss_bf, grads_bf = grads_for("bfloat16")
+    assert np.isfinite(float(loss_bf))
+    flat = jax.tree_util.tree_leaves(grads_bf)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+
+    loss_f32, grads_f32 = grads_for("float32")
+    assert abs(float(loss_bf) - float(loss_f32)) < 0.05
+    # conv_out's own gradient path (the custom VJP) agrees with f32.
+    g_bf = np.asarray(grads_bf["conv_out"]["kernel"], np.float32)
+    g_f32 = np.asarray(grads_f32["conv_out"]["kernel"], np.float32)
+    denom = max(float(np.abs(g_f32).max()), 1e-6)
+    assert float(np.abs(g_bf - g_f32).max()) / denom < 0.1
+
+
 def test_remat_matches_no_remat():
     cfg = tiny_config()
     model = UNet2D(cfg)
