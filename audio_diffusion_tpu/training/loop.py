@@ -172,6 +172,8 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
     global_step = int(state.step)
     last_metrics = None
     t_start = time.time()
+    t_last_log = None
+    steps_last_log = global_step
     start_epoch = global_step // max(steps_per_epoch, 1)
     done = False
 
@@ -191,6 +193,13 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
                     "ema_decay": float(metrics["ema_decay"]),
                     "grad_norm": float(metrics["grad_norm"]),
                 }
+                # The float() pulls above force completion of every dispatched
+                # step, so wall time between log lines is true steady-state
+                # throughput (first window is skipped: it absorbs compiles).
+                now = time.time()
+                if t_last_log is not None:
+                    logs["steps_per_sec"] = round((global_step - steps_last_log) / (now - t_last_log), 3)
+                t_last_log, steps_last_log = now, global_step
                 logger.info("epoch %d step %d: %s", epoch, global_step, logs)
                 if writer:
                     for k, v in logs.items():
