@@ -500,3 +500,154 @@ def test_full_vae_torch_parity():
 
     ours_dec = vae.apply({"params": params}, jnp.asarray(z.transpose(0, 2, 3, 1)), method=vae.decode)
     np.testing.assert_allclose(np.asarray(ours_dec).transpose(0, 3, 1, 2), dec_golden, atol=1e-4)
+
+
+# -------------------------------------------------- CompVis LDM VAE converter
+
+def _diffusers_vae_sd_to_ldm(sd, cfg):
+    """Test helper: rewrite a diffusers-layout VAE state dict into the CompVis
+    LDM checkpoint layout — the inverse of ldm_vae_to_diffusers, so the two
+    compose to identity. Attention projections go back to 1x1 convs, decoder
+    up-block indices flip, conv_shortcut -> nin_shortcut."""
+    n_up = len(cfg.block_out_channels)
+    mid_inv = {
+        "resnets.0": "block_1",
+        "resnets.1": "block_2",
+    }
+    attn_inv = {"group_norm": "norm", "to_q": "q", "to_k": "k", "to_v": "v", "to_out.0": "proj_out"}
+    out = {}
+    for key, val in sd.items():
+        parts = key.split(".")
+        if parts[0] in ("quant_conv", "post_quant_conv"):
+            out[key] = val
+            continue
+        side, rest = parts[0], parts[1:]
+        if rest[0] == "conv_norm_out":
+            new = "norm_out." + ".".join(rest[1:])
+        elif rest[0] == "down_blocks":
+            i, kind = rest[1], rest[2]
+            if kind == "resnets":
+                new = f"down.{i}.block.{rest[3]}." + ".".join(rest[4:])
+            else:  # downsamplers.0.conv
+                new = f"down.{i}.downsample." + ".".join(rest[4:])
+        elif rest[0] == "up_blocks":
+            i = n_up - 1 - int(rest[1])
+            kind = rest[2]
+            if kind == "resnets":
+                new = f"up.{i}.block.{rest[3]}." + ".".join(rest[4:])
+            else:  # upsamplers.0.conv
+                new = f"up.{i}.upsample." + ".".join(rest[4:])
+        elif rest[0] == "mid_block":
+            if rest[1] == "resnets":
+                new = f"mid.{mid_inv['resnets.' + rest[2]]}." + ".".join(rest[3:])
+            else:  # attentions.0.<proj>.<w/b>
+                tail = ".".join(rest[3:])
+                for diff_name, ldm_name in attn_inv.items():
+                    if tail.startswith(diff_name + "."):
+                        leaf = tail[len(diff_name) + 1:]
+                        if leaf == "weight" and val.ndim == 2:
+                            val = val[:, :, None, None]  # linear -> 1x1 conv
+                        new = f"mid.attn_1.{ldm_name}.{leaf}"
+                        break
+        else:
+            new = ".".join(rest)
+        new = new.replace(".conv_shortcut.", ".nin_shortcut.")
+        out[f"{side}.{new}"] = val
+    return out
+
+
+def test_ldm_vae_roundtrip_and_prefix():
+    """ldm_vae_to_diffusers inverts the LDM rename exactly: converting an
+    LDM-layout state dict yields the same native tree as converting the
+    diffusers layout directly; loss.* keys drop; the full-LDM
+    first_stage_model. prefix is stripped."""
+    from torch_twins import TorchAutoencoderKL
+    from audio_diffusion_tpu.models.vae import AutoencoderKL, VAEConfig
+    from audio_diffusion_tpu.utils.torch_import import (
+        _check_structure, convert_vae, ldm_vae_to_diffusers,
+    )
+
+    cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=2,
+                    latent_channels=2, sample_size=32, norm_num_groups=4)
+    torch.manual_seed(7)
+    twin = TorchAutoencoderKL(cfg).eval()
+    sd = {k: v.numpy() for k, v in twin.state_dict().items()}
+
+    ldm_sd = _diffusers_vae_sd_to_ldm(sd, cfg)
+    ldm_sd["loss.discriminator.main.0.weight"] = np.zeros((4, 1, 4, 4), np.float32)
+    ldm_sd["loss.perceptual_loss.net.slice1.0.weight"] = np.zeros((4,), np.float32)
+
+    vae = AutoencoderKL(cfg)
+    template = vae.init_params(jax.random.key(0), sample_hw=(32, 32))
+    direct = _check_structure(template, convert_vae(sd, cfg))
+    via_ldm = _check_structure(template, convert_vae(ldm_vae_to_diffusers(ldm_sd), cfg))
+    jax.tree_util.tree_map(np.testing.assert_array_equal, direct, via_ldm)
+
+    # Full-LDM checkpoints store the VAE under first_stage_model.
+    prefixed = {f"first_stage_model.{k}": v for k, v in ldm_sd.items()}
+    via_prefixed = _check_structure(template, convert_vae(ldm_vae_to_diffusers(prefixed), cfg))
+    jax.tree_util.tree_map(np.testing.assert_array_equal, direct, via_prefixed)
+
+
+def test_vae_config_from_ldm_reference_recipe():
+    """The reference's ddconfig (config/ldm_autoencoder_kl.yaml:18-28) maps to
+    the LDM VAE architecture: ch*ch_mult channels, z_channels latents."""
+    from audio_diffusion_tpu.utils.torch_import import vae_config_from_ldm
+
+    ddconfig = {"double_z": True, "z_channels": 1, "resolution": 256,
+                "in_channels": 1, "out_ch": 1, "ch": 128, "ch_mult": [1, 2, 4, 4],
+                "num_res_blocks": 2, "attn_resolutions": [], "dropout": 0.0}
+    cfg = vae_config_from_ldm(ddconfig)
+    assert cfg.block_out_channels == (128, 256, 512, 512)
+    assert cfg.latent_channels == 1
+    assert cfg.layers_per_block == 2
+    assert cfg.in_channels == 1 and cfg.out_channels == 1
+    assert cfg.sample_size == 256
+    assert cfg.scaling_factor == 0.18215
+
+
+def test_convert_ldm_checkpoint_cli(tmp_path):
+    """End-to-end: a torch-lightning LDM .ckpt + yaml converts to a native
+    vqvae dir whose decode matches the torch twin (the reference's
+    convert_ldm_to_hf_vae path, utils.py:294-303)."""
+    import yaml
+    from flax import serialization
+
+    from torch_twins import TorchAutoencoderKL
+    from audio_diffusion_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    cfg = VAEConfig(block_out_channels=(32, 64), layers_per_block=1,
+                    latent_channels=2, sample_size=32, norm_num_groups=32)
+    torch.manual_seed(11)
+    twin = TorchAutoencoderKL(cfg).eval()
+    sd = {k: v.numpy() for k, v in twin.state_dict().items()}
+    ldm_sd = {k: torch.from_numpy(v.copy()) for k, v in _diffusers_vae_sd_to_ldm(sd, cfg).items()}
+
+    ckpt_path = str(tmp_path / "last.ckpt")
+    torch.save({"state_dict": ldm_sd, "epoch": 3}, ckpt_path)
+    config_path = str(tmp_path / "ldm_autoencoder_kl.yaml")
+    ddconfig = {"double_z": True, "z_channels": 2, "resolution": 32, "in_channels": 1,
+                "out_ch": 1, "ch": 32, "ch_mult": [1, 2], "num_res_blocks": 1,
+                "attn_resolutions": [], "dropout": 0.0}
+    with open(config_path, "w") as fh:
+        yaml.safe_dump({"model": {"params": {"ddconfig": ddconfig}}}, fh)
+
+    import sys
+    sys.path.insert(0, ".")
+    from scripts.convert_checkpoint import main as convert_main
+
+    out_dir = str(tmp_path / "vae_native")
+    convert_main(["--input", ckpt_path, "--ldm_config", config_path, "--output", out_dir])
+
+    vae_cfg = VAEConfig.from_pretrained(out_dir)
+    vae = AutoencoderKL(vae_cfg)
+    template = vae.init_params(jax.random.key(0), sample_hw=(32, 32))
+    with open(f"{out_dir}/params.msgpack", "rb") as fh:
+        params = serialization.from_bytes(template, fh.read())
+
+    rng = np.random.default_rng(3)
+    z = rng.standard_normal((1, 8, 8, 2)).astype(np.float32)
+    with torch.no_grad():
+        golden = twin.decode(torch.from_numpy(z.transpose(0, 3, 1, 2))).numpy()
+    ours = vae.apply({"params": params}, jnp.asarray(z), method=vae.decode)
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), golden, atol=1e-4)
