@@ -41,6 +41,7 @@ def main(argv=None):
     p.add_argument("--kl_weight", type=float, default=1.0e-6)
     p.add_argument("--disc_weight", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mixed_precision", type=str, default="no", choices=["no", "bf16"])
     a = p.parse_args(argv)
 
     from flax import serialization
@@ -63,6 +64,7 @@ def main(argv=None):
         latent_channels=a.latent_channels,
         sample_size=resolution[0],
         norm_num_groups=a.norm_num_groups,
+        dtype="bfloat16" if a.mixed_precision == "bf16" else "float32",
     )
     vae = AutoencoderKL(vae_cfg)
     vae_params = vae.init_params(jax.random.key(a.seed), sample_hw=resolution)

@@ -119,3 +119,24 @@ def test_gradient_accumulation_matches_big_batch():
     # Discriminator path accepts the accumulation axis too.
     state, md = disc_step(state, images, jax.random.key(2))
     assert np.isfinite(float(md["disc_loss"]))
+
+
+def test_bf16_vae_training_steps():
+    """--mixed_precision bf16 path: gen and disc steps trace and produce
+    finite losses with a bfloat16-compute VAE (params stay f32)."""
+    vae_cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                        latent_channels=1, sample_size=16, norm_num_groups=4,
+                        dtype="bfloat16")
+    vae = AutoencoderKL(vae_cfg)
+    vae_params = vae.init_params(jax.random.key(0), sample_hw=(16, 16))
+    assert jax.tree_util.tree_leaves(vae_params)[0].dtype == jnp.float32
+    cfg = VAETrainConfig(learning_rate=1e-3, disc_start=1, disc_channels=8, disc_layers=2)
+    state, disc = init_vae_train_state(cfg, vae, vae_params, (16, 16))
+    gen_step, disc_step = make_vae_train_steps(cfg, vae, disc)
+
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.uniform(-1, 1, (4, 16, 16, 1)).astype(np.float32))
+    state, gm = gen_step(state, images, jax.random.key(1))
+    state, dm = disc_step(state, images, jax.random.key(2))
+    assert np.isfinite(float(gm["loss"])) and np.isfinite(float(gm["d_weight"]))
+    assert np.isfinite(float(dm["disc_loss"]))
