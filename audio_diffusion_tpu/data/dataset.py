@@ -14,7 +14,9 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Dict, Iterator, List, Optional, Tuple
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 from PIL import Image
@@ -73,6 +75,59 @@ class ImageSliceDataset:
         (reference: train_unet.py:70-71)."""
         img = self.get(0)["image"]
         return img.shape[0], img.shape[1]
+
+
+def prefetch(iterator: Iterator, size: int = 2,
+             transform: Optional[Callable[[Any], Any]] = None) -> Iterator:
+    """Run ``iterator`` (and ``transform`` on each item) in a background
+    thread, keeping up to ``size`` results staged ahead of the consumer.
+
+    Used by the training loops to take PNG decode + normalization + the
+    device_put H2D transfer off the step critical path: the next batch is
+    decoded and already on device while the current step executes. (The
+    reference gets this from torch DataLoader workers, train_unet.py:88-91;
+    here one thread suffices — batch prep is ~60 ms vs a ~200 ms step.)
+    Exceptions in the worker re-raise at the consumer's next pull. The
+    worker thread is a daemon, so abandoning the iterator mid-epoch (e.g.
+    max_steps early-stop) cannot hang interpreter exit.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=max(size, 1))
+    sentinel = object()
+    stop = threading.Event()
+    errors: List[BaseException] = []
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for item in iterator:
+                if not _put(transform(item) if transform is not None else item):
+                    return  # consumer left early
+        except BaseException as e:  # surfaced to the consumer below
+            errors.append(e)
+        finally:
+            _put(sentinel)
+
+    thread = threading.Thread(target=worker, daemon=True, name="batch-prefetch")
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+    finally:
+        stop.set()  # early exit (max_steps): unblock and retire the worker
+        thread.join(timeout=5.0)
+    if errors:
+        raise errors[0]
 
 
 def load_encodings(path: str) -> Dict[str, np.ndarray]:

@@ -20,7 +20,7 @@ from typing import Optional
 import jax
 import numpy as np
 
-from ..data.dataset import ImageSliceDataset, epoch_batches, load_encodings
+from ..data.dataset import ImageSliceDataset, epoch_batches, load_encodings, prefetch
 from ..mel import Mel
 from ..models.unet2d import UNet2D, conditional_config, unconditional_config
 from ..parallel.mesh import is_main_process, make_mesh
@@ -177,10 +177,16 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
     start_epoch = global_step // max(steps_per_epoch, 1)
     done = False
 
+    def place(batch):
+        """Runs on the prefetch thread: H2D transfer overlaps the device step."""
+        images, enc = batch
+        return (jax.device_put(images, img_sh),
+                jax.device_put(enc, enc_sh) if enc is not None else None)
+
     for epoch in range(start_epoch, run.num_epochs):
-        for images, enc in epoch_batches(dataset, micro, accum, rng, encodings):
-            images = jax.device_put(images, img_sh)
-            enc = jax.device_put(enc, enc_sh) if enc is not None else None
+        for images, enc in prefetch(
+            epoch_batches(dataset, micro, accum, rng, encodings), transform=place
+        ):
             key = jax.random.fold_in(jax.random.key(run.seed), global_step)
             state, metrics = step_fn(state, images, enc, key)
             last_metrics = metrics

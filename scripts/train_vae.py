@@ -46,7 +46,7 @@ def main(argv=None):
 
     from flax import serialization
 
-    from audio_diffusion_tpu.data.dataset import ImageSliceDataset, epoch_batches
+    from audio_diffusion_tpu.data.dataset import ImageSliceDataset, epoch_batches, prefetch
     from audio_diffusion_tpu.mel import Mel
     from audio_diffusion_tpu.models.vae import AutoencoderKL, VAEConfig
     from audio_diffusion_tpu.training.train_vae import (
@@ -90,8 +90,12 @@ def main(argv=None):
     step = 0
     t0 = time.time()
     for epoch in range(a.max_epochs):
-        for images, _ in epoch_batches(dataset, a.batch_size, a.gradient_accumulation_steps, rng):
-            batch = jax.numpy.asarray(images)  # (accum, micro, H, W, C): grads average over microbatches
+        for batch in prefetch(
+            epoch_batches(dataset, a.batch_size, a.gradient_accumulation_steps, rng),
+            # (accum, micro, H, W, C): grads average over microbatches; the
+            # prefetch thread stages decode + H2D off the step critical path.
+            transform=lambda b: jax.numpy.asarray(b[0]),
+        ):
             key = jax.random.fold_in(jax.random.key(a.seed), step)
             # Before disc_start the discriminator loss is zero-weighted, so a
             # disc step would be a zero-gradient no-op — spend every step on

@@ -227,3 +227,50 @@ def test_cli_trainer_8device_fsdp_resume(tmp_path):
     pipe = AudioDiffusionPipeline.from_pretrained(out)
     raw = pipe(batch_size=2, steps=2, return_images_only=True)
     assert raw.shape == (2, RES, RES)
+
+
+# ------------------------------------------------------------------ prefetch
+
+def test_prefetch_preserves_order_and_applies_transform():
+    from audio_diffusion_tpu.data.dataset import prefetch
+
+    items = list(range(57))
+    out = list(prefetch(iter(items), size=4, transform=lambda x: x * 2))
+    assert out == [x * 2 for x in items]
+
+
+def test_prefetch_propagates_worker_exception():
+    from audio_diffusion_tpu.data.dataset import prefetch
+
+    def gen():
+        yield 1
+        yield 2
+        raise RuntimeError("decode failed")
+
+    it = prefetch(gen(), size=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(it)
+
+
+def test_prefetch_early_exit_retires_worker():
+    import threading
+
+    from audio_diffusion_tpu.data.dataset import prefetch
+
+    produced = []
+
+    def gen():
+        for i in range(10_000):
+            produced.append(i)
+            yield i
+
+    it = prefetch(gen(), size=2)
+    for _ in range(3):
+        next(it)
+    it.close()  # max_steps-style early exit
+    deadline = [t for t in threading.enumerate() if t.name == "batch-prefetch"]
+    for t in deadline:
+        t.join(timeout=5.0)
+    assert not any(t.is_alive() for t in deadline)
+    assert len(produced) < 100  # worker stopped, did not drain the epoch
