@@ -41,7 +41,13 @@ def main(argv=None):
     p.add_argument("--resolution", type=int, default=256)
     p.add_argument("--quick", action="store_true", help="small model smoke run")
     p.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--latency", action="store_true",
+                   help="batch-1 single-sample latency (sequential calls, no pipelining) "
+                        "— the serving-latency analog of the reference's only published "
+                        "number ('about 20 minutes' per sample, app.py:21-23)")
     args = p.parse_args(argv)
+    if args.latency:
+        args.batch = 1
 
     if args.quick:
         from audio_diffusion_tpu.models import UNetConfig
@@ -65,6 +71,26 @@ def main(argv=None):
     raw_w, audio_w = pipe(batch_size=args.batch, steps=args.steps, key=jax.random.key(0),
                           return_arrays=True, pcm16=True)
     np.asarray(raw_w), np.asarray(audio_w)
+
+    if args.latency:
+        # Sequential request latency: materialize each output before the next
+        # call (no dispatch pipelining) — what one interactive request sees.
+        times = []
+        for i in range(args.iters):
+            t0 = time.time()
+            raw, audio = pipe(batch_size=1, steps=args.steps, key=jax.random.key(i + 1),
+                              return_arrays=True, pcm16=True)
+            np.asarray(raw), np.asarray(audio)
+            times.append(time.time() - t0)
+        lat = float(np.median(times))
+        print(json.dumps({
+            "metric": f"{cfg.sample_hw()[0]}x{cfg.sample_hw()[1]} single-sample latency, "
+                      f"{args.steps} DDIM steps + Griffin-Lim end-to-end",
+            "value": round(lat, 3),
+            "unit": "seconds (median)",
+            "vs_baseline": round(lat / (20 * 60), 5),  # reference: ~20 min/sample on CPU
+        }))
+        return
 
     # Steady-state serving loop: dispatch all batches (device queue keeps the
     # chip busy), then materialize every output — D2H overlaps compute.
