@@ -215,7 +215,9 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
                 break
 
         should_save = (epoch + 1) % run.save_model_epochs == 0 or epoch == run.num_epochs - 1 or done
-        should_sample = (epoch + 1) % run.save_images_epochs == 0
+        # Samples only go to tensorboard — without a writer the gather+generate
+        # would be dead work.
+        should_sample = (epoch + 1) % run.save_images_epochs == 0 and writer is not None
         eval_pipe = None
         host_state = None
         if should_save or should_sample:
@@ -223,8 +225,14 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
             # collectives must run on all hosts — rank-0-only device access
             # would deadlock on a pod (the reference's is_main_process gating
             # is only safe because torch DDP keeps full per-process replicas).
-            host_state = gather_to_host(state)
-            eval_params = host_state.ema_params if train.use_ema else host_state.params
+            # Sample-only epochs pull just the eval params (~1/4 of the full
+            # state: the optimizer moments stay on device) — D2H is the
+            # expensive direction for a 113M-param model.
+            if should_save:
+                host_state = gather_to_host(state)
+                eval_params = host_state.ema_params if train.use_ema else host_state.params
+            else:
+                eval_params = gather_to_host(state.ema_params if train.use_ema else state.params)
             eval_pipe = AudioDiffusionPipeline(unet, eval_params, mel, scheduler, vqvae, vqvae_params)
 
         if should_save and is_main_process():

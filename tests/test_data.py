@@ -274,3 +274,43 @@ def test_prefetch_early_exit_retires_worker():
         t.join(timeout=5.0)
     assert not any(t.is_alive() for t in deadline)
     assert len(produced) < 100  # worker stopped, did not drain the epoch
+
+
+def test_training_run_sample_only_epochs(dataset_dir, tmp_path):
+    """Sample-only epochs (save_images_epochs hits, save_model_epochs doesn't)
+    gather just the eval params and log tensorboard samples — the partial-
+    gather branch in the loop."""
+    pytest.importorskip("tensorboardX")
+    import jax
+    from audio_diffusion_tpu.mel import Mel
+    from audio_diffusion_tpu.models import UNet2D, UNetConfig
+    from audio_diffusion_tpu.pipelines import AudioDiffusionPipeline
+    from audio_diffusion_tpu.schedulers import DDIMScheduler, SchedulerConfig
+    from audio_diffusion_tpu.training.loop import RunConfig, run_training
+    from audio_diffusion_tpu.training.train_unet import TrainConfig
+
+    cfg = UNetConfig(sample_size=(RES, RES), block_out_channels=(8, 16),
+                     down_block_types=("DownBlock2D", "DownBlock2D"),
+                     up_block_types=("UpBlock2D", "UpBlock2D"),
+                     layers_per_block=1, norm_num_groups=4)
+    unet = UNet2D(cfg)
+    seed_pipe = AudioDiffusionPipeline(
+        unet, unet.init_params(jax.random.key(0)),
+        Mel(x_res=RES, y_res=RES, hop_length=HOP, n_iter=2),
+        DDIMScheduler(SchedulerConfig(num_train_timesteps=100)),
+    )
+    seed_dir = str(tmp_path / "seed")
+    seed_pipe.save_pretrained(seed_dir)
+
+    out = str(tmp_path / "model")
+    run = RunConfig(
+        dataset=dataset_dir, output_dir=out, num_epochs=2, train_batch_size=1,
+        eval_batch_size=1, save_images_epochs=1, save_model_epochs=1000,
+        scheduler="ddim", num_train_steps=100, hop_length=HOP, max_steps=4,
+        log_every=2, from_pretrained=seed_dir,
+    )
+    result = run_training(run, TrainConfig(lr_warmup_steps=2, use_ema=True))
+    assert result["steps"] == 4
+    # Tensorboard event files exist (samples + scalars were written).
+    logs = os.path.join(out, "logs")
+    assert os.path.isdir(logs) and any(os.scandir(logs))
