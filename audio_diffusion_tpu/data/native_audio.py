@@ -32,7 +32,10 @@ def _load_library() -> Optional[ctypes.CDLL]:
     _tried = True
     if not os.path.exists(_LIB_PATH):
         try:
-            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+            # Build ONLY the dependency-free WAV library: the default `all`
+            # target also builds libadtmedia.so, which fails without the
+            # libav dev stack and would disable this decoder too.
+            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR), "libadtaudio.so"],
                            capture_output=True, check=True, timeout=120)
         except Exception as e:
             logger.info("native audio library unavailable (%s); using Python fallback", e)

@@ -85,6 +85,17 @@ class UNetConfig(ConfigMixin):
 
     config_name = "config.json"
 
+    def __post_init__(self):
+        if self.norm_dtype != "float32":
+            import logging
+
+            logging.getLogger("audio_diffusion_tpu.models").warning(
+                "UNetConfig.norm_dtype=%r is legacy and ignored: GroupNorms always "
+                "run f32 statistics with compute-dtype I/O now (numerically identical "
+                "at the conv input, and faster than the old bf16-stats opt-in).",
+                self.norm_dtype,
+            )
+
     @property
     def is_conditional(self) -> bool:
         return self.cross_attention_dim is not None

@@ -169,6 +169,10 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
               sample_rate=run.sample_rate, n_fft=run.n_fft)
 
     rng = np.random.default_rng(run.seed)
+    # Eval-time encoding picks use their own stream: `rng` is consumed inside
+    # the prefetch worker thread (epoch shuffles), so sharing it would make
+    # eval selection timing-dependent and race a non-thread-safe Generator.
+    eval_rng = np.random.default_rng(run.seed + 0x5EED)
     global_step = int(state.step)
     last_metrics = None
     t_start = time.time()
@@ -243,7 +247,7 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
             enc_eval = None
             if conditional:
                 vals = list(encodings.values())
-                pick = rng.choice(len(vals), size=min(run.eval_batch_size, len(vals)), replace=False)
+                pick = eval_rng.choice(len(vals), size=min(run.eval_batch_size, len(vals)), replace=False)
                 enc_eval = np.stack([vals[i] for i in pick])[:, None, :]
             # steps=None -> scheduler default (50 DDIM / num_train_steps DDPM),
             # matching the reference's eval (train_unet.py:313-330).

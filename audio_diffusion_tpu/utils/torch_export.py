@@ -153,7 +153,8 @@ def unet_config_to_diffusers(config) -> dict:
     cfg = {
         "_class_name": "UNet2DConditionModel" if config.is_conditional else "UNet2DModel",
         "_diffusers_version": DIFFUSERS_VERSION,
-        "sample_size": list(config.sample_size),
+        # sample_size may be an int (UNetConfig.sample_hw normalizes both forms)
+        "sample_size": list(config.sample_hw()),
         "in_channels": config.in_channels,
         "out_channels": config.out_channels,
         "layers_per_block": config.layers_per_block,

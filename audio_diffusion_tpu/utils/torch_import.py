@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict
+from typing import Dict, List
 
 import numpy as np
 
@@ -328,9 +328,11 @@ def ldm_vae_to_diffusers(sd_raw: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]
     sd = {(k[len(strip):] if k.startswith(strip) else k): v for k, v in sd_raw.items()}
     n_up = 1 + max((int(k.split(".")[2]) for k in sd if k.startswith("decoder.up.")), default=-1)
     out: Dict[str, np.ndarray] = {}
+    unmapped: List[str] = []
     for key, val in sd.items():
         if not key.startswith(("encoder.", "decoder.", "quant_conv.", "post_quant_conv.")):
             continue
+        orig = key
         parts = key.split(".")
         if len(parts) > 3 and parts[1] == "down":
             rest = ".".join(parts[4:])
@@ -338,6 +340,12 @@ def ldm_vae_to_diffusers(sd_raw: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]
                 key = f"encoder.down_blocks.{parts[2]}.resnets.{rest}"
             elif parts[3] == "downsample":
                 key = f"encoder.down_blocks.{parts[2]}.downsamplers.0.{rest}"
+            else:
+                # e.g. down.{i}.attn.{j} from a non-empty attn_resolutions —
+                # an architecture this VAE family does not have; dropping it
+                # silently would "convert" to a numerically different model.
+                unmapped.append(orig)
+                continue
         elif len(parts) > 3 and parts[1] == "up":
             i = n_up - 1 - int(parts[2])
             rest = ".".join(parts[4:])
@@ -345,18 +353,31 @@ def ldm_vae_to_diffusers(sd_raw: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]
                 key = f"decoder.up_blocks.{i}.resnets.{rest}"
             elif parts[3] == "upsample":
                 key = f"decoder.up_blocks.{i}.upsamplers.0.{rest}"
+            else:
+                unmapped.append(orig)
+                continue
         else:
             for old, new in _LDM_MID:
                 prefix = f"{parts[0]}.{old}"
                 if key.startswith(prefix):
                     key = f"{parts[0]}.{new}{key[len(prefix):]}"
                     break
+            else:
+                if len(parts) > 2 and parts[1] in ("mid", "attn"):
+                    unmapped.append(orig)
+                    continue
         key = key.replace(".nin_shortcut.", ".conv_shortcut.")
         key = key.replace(".norm_out.", ".conv_norm_out.")
         val = np.asarray(val)
         if val.ndim == 4 and any(t in key for t in (".to_q.", ".to_k.", ".to_v.", ".to_out.0.")):
             val = val[:, :, 0, 0]  # 1x1 conv -> linear
         out[key] = val
+    if unmapped:
+        raise ValueError(
+            "LDM VAE checkpoint has layers this converter cannot map (likely a "
+            f"non-empty attn_resolutions, which the reference recipe never uses — "
+            f"config/ldm_autoencoder_kl.yaml:27): {sorted(unmapped)[:8]}"
+        )
     return out
 
 

@@ -1,8 +1,6 @@
 """Streamlit demo app (reference: streamlit_app.py). Requires
 `pip install streamlit` (not bundled)."""
 
-import numpy as np
-
 try:
     import streamlit as st
 except ImportError as e:  # pragma: no cover - optional dependency

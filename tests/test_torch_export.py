@@ -216,3 +216,17 @@ def test_convert_checkpoint_cli_to_torch(tmp_path):
     a = pipe(batch_size=1, steps=2, key=jax.random.key(12), return_images_only=True)
     b = pipe2(batch_size=1, steps=2, key=jax.random.key(12), return_images_only=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_unet_config_to_diffusers_int_sample_size():
+    """UNetConfig accepts an int sample_size everywhere (sample_hw normalizes);
+    export must not crash on the int form."""
+    from audio_diffusion_tpu.models import UNetConfig
+    from audio_diffusion_tpu.utils.torch_export import unet_config_to_diffusers
+
+    cfg = UNetConfig(sample_size=64, block_out_channels=(8, 16),
+                     down_block_types=("DownBlock2D", "DownBlock2D"),
+                     up_block_types=("UpBlock2D", "UpBlock2D"),
+                     layers_per_block=1, norm_num_groups=4)
+    out = unet_config_to_diffusers(cfg)
+    assert out["sample_size"] == [64, 64]

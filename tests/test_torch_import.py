@@ -651,3 +651,17 @@ def test_convert_ldm_checkpoint_cli(tmp_path):
         golden = twin.decode(torch.from_numpy(z.transpose(0, 3, 1, 2))).numpy()
     ours = vae.apply({"params": params}, jnp.asarray(z), method=vae.decode)
     np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), golden, atol=1e-4)
+
+
+def test_ldm_vae_unmapped_attention_raises():
+    """A ddconfig with non-empty attn_resolutions produces down/up-block
+    attention keys this VAE family does not have — converting must fail
+    loudly, not silently drop layers."""
+    from audio_diffusion_tpu.utils.torch_import import ldm_vae_to_diffusers
+
+    sd = {
+        "encoder.conv_in.weight": np.zeros((8, 1, 3, 3), np.float32),
+        "decoder.up.0.attn.0.q.weight": np.zeros((8, 8, 1, 1), np.float32),
+    }
+    with pytest.raises(ValueError, match="attn_resolutions"):
+        ldm_vae_to_diffusers(sd)
