@@ -575,6 +575,32 @@ class UNet2D(nn.Module):
                 f"{factor} (2^(num_blocks-1)) or the up-path skip shapes break; "
                 f"use a shallower UNet or a VAE with fewer downsamples"
             )
+        # Attention feasibility: a level attending over N tokens materializes
+        # (or at minimum computes) N^2 logits per head. The conditional
+        # architecture places cross-attn in the FIRST block (reference:
+        # train_unet.py:146-150), which at 256x256 pixel space means
+        # 65536^2 logits (~17 GB per head-batch in f32) — the reference only
+        # ever trains that architecture over VAE latents (its published
+        # conditional models are `conditional-latent-*`, README.md:209-218).
+        # Fail with the fix instead of an opaque multi-GB XLA allocation error.
+        max_tokens = 16384  # 128x128; the Pallas kernel caps at 1024, the jnp
+        # fallback materializes logits — 16k tokens (2 GB logits/head-batch)
+        # is the practical HBM limit either way.
+        levels = list(zip(cfg.down_block_types, reversed(cfg.up_block_types)))
+        deepest = len(cfg.block_out_channels) - 1
+        for i, bt in enumerate(levels + [("mid-attention", "mid-attention")]):
+            i = min(i, deepest)  # the mid block runs at the deepest level
+            if any("ttn" in b for b in bt):
+                tokens = (sample.shape[1] >> i) * (sample.shape[2] >> i)
+                if tokens > max_tokens:
+                    raise ValueError(
+                        f"{'/'.join(set(bt))} at level {i} would attend over {tokens} "
+                        f"tokens for input {sample.shape[1]}x{sample.shape[2]} — "
+                        f"infeasible ({tokens}^2 logits/head). Train this "
+                        f"architecture over VAE latents instead (train_unet "
+                        f"--vae, the reference's conditional-latent recipe) or "
+                        f"reduce the resolution."
+                    )
         if encoder_hidden_states is not None:
             encoder_hidden_states = encoder_hidden_states.astype(dtype)
 

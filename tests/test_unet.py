@@ -266,3 +266,22 @@ def test_fold_skip_concat_equals_materialized():
     a = unet_on.apply({"params": params}, x, t)
     b = unet_off.apply({"params": params}, x, t)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_pixel_space_conditional_256_raises_actionable_error():
+    """The reference's conditional architecture cross-attends in its first
+    block — feasible over VAE latents (its published conditional models are
+    latent models), but at 256x256 pixel space it would need 65536^2
+    attention logits. The UNet must fail with the fix, not an opaque
+    multi-GB XLA allocation error."""
+    from audio_diffusion_tpu.models.unet2d import conditional_config
+
+    model = UNet2D(conditional_config((256, 256), cross_attention_dim=12))
+    with pytest.raises(ValueError, match="latents"):
+        model.init_params(jax.random.key(0))
+
+    # The same architecture over a latent-sized input works (round-1 evidence
+    # path) — 64x64 = 4096 tokens at the first level is under the guard.
+    small = UNet2D(conditional_config((64, 64), cross_attention_dim=12))
+    params = small.apply  # construction alone shouldn't raise
+    assert params is not None
