@@ -144,13 +144,18 @@ def epoch_batches(
     rng: Optional[np.random.Generator] = None,
     encodings: Optional[Dict[str, np.ndarray]] = None,
     drop_last: bool = True,
+    precomputed: Optional[Tuple[np.ndarray, List[str]]] = None,
 ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
     """Yield (images, encodings) with images (accum, batch, H, W, 1) in [-1, 1].
 
     ``batch_size`` is the per-optimizer-step microbatch (sharded over the data
     mesh axis); ``accum`` microbatches are grouped per yield.
+
+    ``precomputed`` = (array (N, ...), audio_files) substitutes a cached
+    per-item array — e.g. VAE latent moments — for the PIL decode and the
+    [-1, 1] image normalization; the array is indexed and grouped as-is.
     """
-    n = len(dataset)
+    n = len(dataset) if precomputed is None else len(precomputed[0])
     order = np.arange(n)
     if rng is not None:
         rng.shuffle(order)
@@ -158,13 +163,19 @@ def epoch_batches(
     limit = (n // group) * group if drop_last else n
     for start in range(0, limit, group):
         idx = order[start : start + group]
-        items = [dataset.get(i) for i in idx]
-        images = np.stack([it["image"] for it in items]).astype(np.float32)
-        images = images / 255.0 * 2.0 - 1.0  # ToTensor + Normalize(0.5, 0.5)
-        images = images[..., None].reshape(accum, batch_size, *images.shape[1:], 1)
+        if precomputed is not None:
+            arr, files = precomputed
+            images = arr[idx].reshape(accum, batch_size, *arr.shape[1:])
+            batch_files = [files[i] for i in idx]
+        else:
+            items = [dataset.get(i) for i in idx]
+            images = np.stack([it["image"] for it in items]).astype(np.float32)
+            images = images / 255.0 * 2.0 - 1.0  # ToTensor + Normalize(0.5, 0.5)
+            images = images[..., None].reshape(accum, batch_size, *images.shape[1:], 1)
+            batch_files = [it["audio_file"] for it in items]
         enc_batch = None
         if encodings is not None:
-            enc = np.stack([encodings[it["audio_file"]] for it in items])
+            enc = np.stack([encodings[f] for f in batch_files])
             if enc.ndim == 2:
                 enc = enc[:, None, :]  # (B, 1, dim) for cross-attention
             enc_batch = enc.reshape(accum, batch_size, *enc.shape[1:])

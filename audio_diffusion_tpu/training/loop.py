@@ -33,6 +33,7 @@ from .train_unet import (
     init_train_state,
     make_lr_schedule,
     make_train_step,
+    precompute_latent_moments,
     shard_train_state,
 )
 
@@ -73,6 +74,9 @@ class RunConfig:
     from_pretrained: Optional[str] = None
     vae: Optional[str] = None
     encodings: Optional[str] = None
+    cache_latents: bool = True  # latent training: encode the dataset once and
+    # sample posteriors from cached moments per step (bit-identical math,
+    # no per-microbatch encoder cost); off re-encodes like the reference
     mixed_precision: str = "no"  # "no" | "bf16"
     mesh_data: Optional[int] = None
     seed: int = 0
@@ -153,7 +157,15 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
         logger.info("resumed from step %d", int(state.step))
     state = shard_train_state(state, mesh, train)
 
-    step_fn = make_train_step(train, unet, scheduler, vqvae, vqvae_params, conditional)
+    precomputed = None
+    if vqvae is not None and run.cache_latents:
+        t_enc = time.time()
+        precomputed = precompute_latent_moments(vqvae, vqvae_params, dataset)
+        logger.info("cached latent moments for %d items in %.1f s (%s)",
+                    len(precomputed[1]), time.time() - t_enc, precomputed[0].shape)
+
+    step_fn = make_train_step(train, unet, scheduler, vqvae, vqvae_params, conditional,
+                              cached_latents=precomputed is not None)
     img_sh, enc_sh = batch_shardings(mesh)
 
     writer = None
@@ -189,7 +201,8 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
 
     for epoch in range(start_epoch, run.num_epochs):
         for images, enc in prefetch(
-            epoch_batches(dataset, micro, accum, rng, encodings), transform=place
+            epoch_batches(dataset, micro, accum, rng, encodings, precomputed=precomputed),
+            transform=place,
         ):
             key = jax.random.fold_in(jax.random.key(run.seed), global_step)
             state, metrics = step_fn(state, images, enc, key)

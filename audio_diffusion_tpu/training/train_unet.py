@@ -135,6 +135,41 @@ def batch_shardings(mesh: Mesh):
     return img, enc
 
 
+def precompute_latent_moments(vqvae, vqvae_params, dataset, chunk: int = 16):
+    """Encode the whole dataset ONCE; returns ((N, h, w, 2C) moments as
+    mean ‖ logvar, audio_files).
+
+    Latent training then samples the posterior per step from the cached
+    moments (``make_train_step(cached_latents=True)``) — bit-identical math
+    to re-running the encoder every microbatch (the encoder is deterministic
+    given the image; only the sample is stochastic), trading a one-time
+    O(dataset) encode for per-step encoder FLOPs. The reference re-encodes
+    every step (train_unet.py:232-235).
+    """
+    @jax.jit
+    def enc(imgs):
+        p = vqvae.apply({"params": vqvae_params}, imgs, method=vqvae.encode)
+        return jnp.concatenate([p.mean, p.logvar], axis=-1)
+
+    moments, files, buf = [], [], []
+
+    def flush():
+        pad = chunk - len(buf)  # pad to one static shape (one compile)
+        arr = np.stack(buf + [buf[-1]] * pad)[..., None]
+        moments.append(np.asarray(enc(jnp.asarray(arr)))[: len(buf)])
+        buf.clear()
+
+    for i in range(len(dataset)):
+        item = dataset.get(i)
+        files.append(item["audio_file"])
+        buf.append(np.asarray(item["image"], np.float32) / 255.0 * 2.0 - 1.0)
+        if len(buf) == chunk:
+            flush()
+    if buf:
+        flush()
+    return np.concatenate(moments), files
+
+
 def make_train_step(
     cfg: TrainConfig,
     unet,
@@ -142,6 +177,7 @@ def make_train_step(
     vqvae=None,
     vqvae_params=None,
     conditional: bool = False,
+    cached_latents: bool = False,
 ) -> Callable:
     """Build the jitted SPMD train step.
 
@@ -150,6 +186,12 @@ def make_train_step(
     (accum, micro_batch, seq, dim) or None. ``state.step`` counts true
     optimizer steps (the reference's EMA counter advances per microbatch —
     train_unet.py:266 — a quirk we deliberately fix; SURVEY.md §3.3).
+
+    With ``cached_latents`` the ``images`` slot carries precomputed VAE
+    posterior moments (..., 2*latent_channels: mean ‖ logvar) and the step
+    samples the posterior directly — bit-identical to running the encoder
+    (same DiagonalGaussian formula, same key), without the encoder FLOPs on
+    every microbatch.
     """
     optimizer = make_optimizer(cfg)
     ema = EMA(cfg.ema_inv_gamma, cfg.ema_power, cfg.ema_max_decay)
@@ -158,7 +200,13 @@ def make_train_step(
     def loss_fn(params, images, encodings, key):
         t_key, n_key, v_key = jax.random.split(key, 3)
         clean = images
-        if vqvae is not None:
+        if cached_latents:
+            from ..models.vae import DiagonalGaussian
+
+            mean, logvar = jnp.split(images, 2, axis=-1)
+            latents = DiagonalGaussian(mean, logvar).sample(v_key)
+            clean = jax.lax.stop_gradient(LATENT_SCALE * latents)
+        elif vqvae is not None:
             latents = vqvae.apply({"params": vqvae_params}, images, method=vqvae.encode).sample(v_key)
             clean = jax.lax.stop_gradient(LATENT_SCALE * latents)
         noise = jax.random.normal(n_key, clean.shape, dtype=clean.dtype)

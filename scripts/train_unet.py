@@ -61,6 +61,9 @@ def parse_args(argv=None):
     p.add_argument("--scheduler", type=str, default="ddpm", choices=["ddpm", "ddim"])
     p.add_argument("--prediction_type", type=str, default="epsilon", choices=["epsilon", "v_prediction"])
     p.add_argument("--vae", type=str, default=None, help="pretrained VAE dir for latent diffusion")
+    p.add_argument("--cache_latents", type=str2bool, default=True,
+                   help="latent training: encode the dataset once and sample posteriors "
+                        "from cached moments (bit-identical math, no per-step encoder cost)")
     p.add_argument("--encodings", type=str, default=None,
                    help="pickled {audio_file: encoding} for conditional training")
     p.add_argument("--mixed_precision", type=str, default="no", choices=["no", "bf16"])
@@ -85,6 +88,7 @@ def main(argv=None):
         scheduler=a.scheduler, num_train_steps=a.num_train_steps,
         hop_length=a.hop_length, sample_rate=a.sample_rate, n_fft=a.n_fft,
         from_pretrained=a.from_pretrained, vae=a.vae, encodings=a.encodings,
+        cache_latents=a.cache_latents,
         mixed_precision=a.mixed_precision, mesh_data=a.mesh_data,
         seed=a.seed, max_steps=a.max_steps,
     )

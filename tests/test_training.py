@@ -241,3 +241,47 @@ def test_v_prediction_training(mesh):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_cached_latents_matches_encoder_path(mesh):
+    """cache_latents: sampling the posterior from precomputed moments must
+    reproduce the re-encode-every-step path — same DiagonalGaussian formula,
+    same key — to numerical (compiler-fusion) tolerance, for loss AND the
+    updated parameters."""
+    from audio_diffusion_tpu.models.vae import AutoencoderKL, VAEConfig
+    from audio_diffusion_tpu.training.train_unet import precompute_latent_moments
+
+    vae_cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1, latent_channels=1,
+                        sample_size=16, norm_num_groups=4)
+    vae = AutoencoderKL(vae_cfg)
+    vae_params = vae.init_params(jax.random.key(0), sample_hw=(16, 16))
+    unet, params = tiny_unet()
+    cfg = TrainConfig(use_ema=False)
+
+    rng = np.random.default_rng(3)
+    images = rng.uniform(-1, 1, (1, 8, 16, 16, 1)).astype(np.float32)
+
+    step_enc = make_train_step(cfg, unet, DDPMScheduler(), vqvae=vae, vqvae_params=vae_params)
+    state = init_train_state(cfg, params)
+    state_a, m_a = step_enc(state, jnp.asarray(images), None, jax.random.key(7))
+
+    # Precompute moments through the public helper (pads the last chunk).
+    class _ArrayDataset:
+        def __len__(self):
+            return images.shape[1]
+
+        def get(self, i):
+            img = ((images[0, i, :, :, 0] + 1.0) / 2.0 * 255.0).astype(np.float32)
+            return {"image": img, "audio_file": f"f{i}.wav", "slice": 0}
+
+    moments, files = precompute_latent_moments(vae, vae_params, _ArrayDataset(), chunk=5)
+    assert moments.shape == (8, 8, 8, 2) and files[3] == "f3.wav"
+
+    step_cached = make_train_step(cfg, unet, DDPMScheduler(), vqvae=vae, vqvae_params=vae_params,
+                                  cached_latents=True)
+    state = init_train_state(cfg, params)
+    state_b, m_b = step_cached(state, jnp.asarray(moments[None]), None, jax.random.key(7))
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params), jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
