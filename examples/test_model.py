@@ -58,6 +58,16 @@ _, (_, noisy) = ad.generate_spectrogram_and_audio(eta=1.0, key=jax.random.key(5)
 write_wav("eta1.wav", normalize(noisy), sr)
 
 # --- DDIM encode / reconstruct / slerp (cells 32-37) ----------------------
+# Inversion needs a deterministic scheduler. The reference notebook switches
+# to a -ddim- model here; schedulers share the trained alphas, so for a DDPM
+# model just swap a DDIM scheduler over the same pipeline components.
+from audio_diffusion_tpu.schedulers import DDIMScheduler
+
+if not isinstance(pipe.scheduler, DDIMScheduler):
+    pipe = AudioDiffusionPipeline(pipe.unet, pipe.unet_params, pipe.mel,
+                                  DDIMScheduler(pipe.scheduler.config),
+                                  pipe.vqvae, pipe.vqvae_params)
+
 out = pipe(batch_size=2, steps=50, key=jax.random.key(7))
 noise = pipe.encode(out.images)
 rec = pipe(batch_size=1, steps=50, noise=noise[:1], return_images_only=True)
