@@ -137,6 +137,13 @@ def load_encodings(path: str) -> Dict[str, np.ndarray]:
     return {k: np.asarray(v, dtype=np.float32) for k, v in enc.items()}
 
 
+def normalize_image(image: np.ndarray) -> np.ndarray:
+    """uint8 spectrogram -> [-1, 1] float32, the reference's ToTensor +
+    Normalize(0.5, 0.5) (train_unet.py:73-78). One definition: the cached-
+    latent path's bit-parity with re-encoding depends on both using it."""
+    return np.asarray(image, np.float32) / 255.0 * 2.0 - 1.0
+
+
 def epoch_batches(
     dataset: ImageSliceDataset,
     batch_size: int,
@@ -169,8 +176,7 @@ def epoch_batches(
             batch_files = [files[i] for i in idx]
         else:
             items = [dataset.get(i) for i in idx]
-            images = np.stack([it["image"] for it in items]).astype(np.float32)
-            images = images / 255.0 * 2.0 - 1.0  # ToTensor + Normalize(0.5, 0.5)
+            images = normalize_image(np.stack([it["image"] for it in items]))
             images = images[..., None].reshape(accum, batch_size, *images.shape[1:], 1)
             batch_files = [it["audio_file"] for it in items]
         enc_batch = None

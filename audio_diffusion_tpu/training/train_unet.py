@@ -146,9 +146,14 @@ def precompute_latent_moments(vqvae, vqvae_params, dataset, chunk: int = 16):
     O(dataset) encode for per-step encoder FLOPs. The reference re-encodes
     every step (train_unet.py:232-235).
     """
+    from ..data.dataset import normalize_image
+
+    # Params are a jit ARGUMENT, not a closure: closed-over numpy trees get
+    # baked into the HLO as constants and the remote-compile upload fails
+    # with HTTP 413 for big VAEs (CLAUDE.md).
     @jax.jit
-    def enc(imgs):
-        p = vqvae.apply({"params": vqvae_params}, imgs, method=vqvae.encode)
+    def enc(params, imgs):
+        p = vqvae.apply({"params": params}, imgs, method=vqvae.encode)
         return jnp.concatenate([p.mean, p.logvar], axis=-1)
 
     moments, files, buf = [], [], []
@@ -156,13 +161,13 @@ def precompute_latent_moments(vqvae, vqvae_params, dataset, chunk: int = 16):
     def flush():
         pad = chunk - len(buf)  # pad to one static shape (one compile)
         arr = np.stack(buf + [buf[-1]] * pad)[..., None]
-        moments.append(np.asarray(enc(jnp.asarray(arr)))[: len(buf)])
+        moments.append(np.asarray(enc(vqvae_params, jnp.asarray(arr)))[: len(buf)])
         buf.clear()
 
     for i in range(len(dataset)):
         item = dataset.get(i)
         files.append(item["audio_file"])
-        buf.append(np.asarray(item["image"], np.float32) / 255.0 * 2.0 - 1.0)
+        buf.append(normalize_image(item["image"]))
         if len(buf) == chunk:
             flush()
     if buf:

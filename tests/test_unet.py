@@ -280,8 +280,17 @@ def test_pixel_space_conditional_256_raises_actionable_error():
     with pytest.raises(ValueError, match="latents"):
         model.init_params(jax.random.key(0))
 
-    # The same architecture over a latent-sized input works (round-1 evidence
-    # path) — 64x64 = 4096 tokens at the first level is under the guard.
-    small = UNet2D(conditional_config((64, 64), cross_attention_dim=12))
-    params = small.apply  # construction alone shouldn't raise
+    # The same level structure over a latent-sized input must NOT trip the
+    # guard — 64x64 = 4096 tokens at the first cross-attn level (the round-1
+    # conditional path). Tiny channels keep the actual trace cheap.
+    small = UNet2D(UNetConfig(
+        sample_size=(64, 64), block_out_channels=(8, 16, 16, 16),
+        down_block_types=("CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+                          "CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D",
+                        "CrossAttnUpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1, norm_num_groups=4, attention_head_dim=4,
+        cross_attention_dim=12,
+    ))
+    params = small.init_params(jax.random.key(0))
     assert params is not None
