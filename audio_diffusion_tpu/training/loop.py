@@ -23,7 +23,7 @@ import numpy as np
 from ..data.dataset import ImageSliceDataset, epoch_batches, load_encodings, prefetch
 from ..mel import Mel
 from ..models.unet2d import UNet2D, conditional_config, unconditional_config
-from ..parallel.mesh import is_main_process, make_mesh
+from ..parallel.mesh import is_main_process, make_mesh, replicated
 from ..pipelines.pipeline import AudioDiffusionPipeline
 from ..schedulers import DDIMScheduler, DDPMScheduler, SchedulerConfig
 from .checkpoint import make_manager, restore_train_state, save_train_state
@@ -156,6 +156,13 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
         state = restored
         logger.info("resumed from step %d", int(state.step))
     state = shard_train_state(state, mesh, train)
+
+    if vqvae_params is not None:
+        # Replicate on the mesh BEFORE the step closes over it: jit inlines
+        # closed-over numpy trees into the HLO as constants (remote-compile
+        # HTTP 413 risk for big VAEs, CLAUDE.md) but captures device arrays
+        # as runtime buffers.
+        vqvae_params = jax.device_put(vqvae_params, replicated(mesh))
 
     precomputed = None
     if vqvae is not None and run.cache_latents:

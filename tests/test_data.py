@@ -314,3 +314,57 @@ def test_training_run_sample_only_epochs(dataset_dir, tmp_path):
     # Tensorboard event files exist (samples + scalars were written).
     logs = os.path.join(out, "logs")
     assert os.path.isdir(logs) and any(os.scandir(logs))
+
+
+def test_latent_training_loop(dataset_dir, tmp_path):
+    """run_training with --vae: cached-latents default and the re-encode
+    opt-out both drive the full loop (moments precompute, batching over the
+    cached array, VAE params replicated on the mesh)."""
+    import jax
+    from flax import serialization
+
+    from audio_diffusion_tpu.models.vae import AutoencoderKL, VAEConfig
+    from audio_diffusion_tpu.training.loop import RunConfig, run_training
+    from audio_diffusion_tpu.training.train_unet import TrainConfig
+
+    from audio_diffusion_tpu.mel import Mel
+    from audio_diffusion_tpu.models import UNet2D, UNetConfig
+    from audio_diffusion_tpu.pipelines import AudioDiffusionPipeline
+    from audio_diffusion_tpu.schedulers import DDIMScheduler, SchedulerConfig
+
+    vae_cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                        latent_channels=1, sample_size=RES, norm_num_groups=4)
+    vae = AutoencoderKL(vae_cfg)
+    vae_params = vae.init_params(jax.random.key(0), sample_hw=(RES, RES))
+
+    # Seed pipeline: a tiny UNet over the RES/2 latents + the vqvae, so the
+    # loop's default (reference-sized) architecture never instantiates.
+    lat = RES // 2
+    unet_cfg = UNetConfig(sample_size=(lat, lat), block_out_channels=(8, 16),
+                          down_block_types=("DownBlock2D", "DownBlock2D"),
+                          up_block_types=("UpBlock2D", "UpBlock2D"),
+                          layers_per_block=1, norm_num_groups=4)
+    unet = UNet2D(unet_cfg)
+    seed_pipe = AudioDiffusionPipeline(
+        unet, unet.init_params(jax.random.key(1)),
+        Mel(x_res=RES, y_res=RES, hop_length=HOP, n_iter=2),
+        DDIMScheduler(SchedulerConfig(num_train_timesteps=100)),
+        vqvae=vae, vqvae_params=vae_params,
+    )
+    seed_dir = str(tmp_path / "seed")
+    seed_pipe.save_pretrained(seed_dir)
+
+    losses = {}
+    for cache in (True, False):
+        out = str(tmp_path / f"model_{cache}")
+        run = RunConfig(
+            dataset=dataset_dir, output_dir=out, num_epochs=2, train_batch_size=2,
+            eval_batch_size=1, save_images_epochs=1000, save_model_epochs=1000,
+            scheduler="ddim", num_train_steps=100, hop_length=HOP, max_steps=2,
+            log_every=1, from_pretrained=seed_dir, cache_latents=cache,
+        )
+        result = run_training(run, TrainConfig(lr_warmup_steps=2, use_ema=False))
+        assert result["steps"] == 2 and np.isfinite(result["loss"])
+        losses[cache] = result["loss"]
+    # Same seed/keys: the cached and re-encode paths agree.
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4)
