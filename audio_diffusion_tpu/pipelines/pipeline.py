@@ -83,11 +83,15 @@ class AudioDiffusionPipeline:
         vqvae_params=None,
     ):
         self.unet = unet
-        self.unet_params = unet_params
+        # Commit params to device ONCE: numpy trees (e.g. from_pretrained's
+        # msgpack load) passed as jit arguments re-transfer on EVERY call —
+        # ~450 MB per generation through this backend's tunnel. Device arrays
+        # are passed by reference.
+        self.unet_params = jax.device_put(unet_params)
         self.mel = mel
         self.scheduler = scheduler
         self.vqvae = vqvae
-        self.vqvae_params = vqvae_params
+        self.vqvae_params = jax.device_put(vqvae_params) if vqvae_params is not None else None
         self._compiled = {}
         self.mesh = None
 
@@ -227,10 +231,15 @@ class AudioDiffusionPipeline:
             input_images = input_images[..., None]  # (1, H, W, 1)
 
             if self.is_latent:
-                latents = self.vqvae.apply(
-                    {"params": self.vqvae_params}, input_images, method=self.vqvae.encode
-                ).sample(vae_key)
-                input_images = LATENT_SCALE * latents
+                # ONE jitted program — eager flax apply dispatches every op
+                # separately (~100 ms each through the remote backend).
+                if "vae_encode" not in self._compiled:
+                    self._compiled["vae_encode"] = jax.jit(
+                        lambda p, x, k: LATENT_SCALE * self.vqvae.apply(
+                            {"params": p}, x, method=self.vqvae.encode
+                        ).sample(k)
+                    )
+                input_images = self._compiled["vae_encode"](self.vqvae_params, input_images, vae_key)
 
             input_images = jnp.broadcast_to(input_images, noise.shape)
 
@@ -249,9 +258,16 @@ class AudioDiffusionPipeline:
         images = fn(self.unet_params, images, input_images, noise, enc, step_key)
 
         if self.is_latent:
-            images = self.vqvae.apply(
-                {"params": self.vqvae_params}, images / LATENT_SCALE, method=self.vqvae.decode
-            )
+            # ONE jitted program (params as an argument, not baked constants):
+            # the eager path cost ~12 s/batch in per-op dispatch latency on
+            # the remote backend vs ~0.1 s compiled.
+            if "vae_decode" not in self._compiled:
+                self._compiled["vae_decode"] = jax.jit(
+                    lambda p, z: self.vqvae.apply(
+                        {"params": p}, z / LATENT_SCALE, method=self.vqvae.decode
+                    )
+                )
+            images = self._compiled["vae_decode"](self.vqvae_params, images)
 
         # [-1,1] -> uint8 on device: Griffin-Lim consumes it without a host
         # round-trip (see postprocess_images for the exact reference math).
