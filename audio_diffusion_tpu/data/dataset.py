@@ -144,6 +144,15 @@ def normalize_image(image: np.ndarray) -> np.ndarray:
     return np.asarray(image, np.float32) / 255.0 * 2.0 - 1.0
 
 
+def epoch_rng(seed: int, epoch: int) -> np.random.Generator:
+    """Per-epoch shuffle generator derived from (seed, epoch) — the fold_in
+    pattern. Any epoch's data order is reconstructible at resume without
+    replaying the prior epochs' draws, so a resumed run reproduces the exact
+    stream a straight run would have seen (the reference's resume replays
+    optimizer steps but restarts the data order, train_unet.py:216-224)."""
+    return np.random.default_rng(np.random.SeedSequence((int(seed), int(epoch))))
+
+
 def epoch_batches(
     dataset: ImageSliceDataset,
     batch_size: int,
@@ -152,6 +161,7 @@ def epoch_batches(
     encodings: Optional[Dict[str, np.ndarray]] = None,
     drop_last: bool = True,
     precomputed: Optional[Tuple[np.ndarray, List[str]]] = None,
+    start_group: int = 0,
 ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
     """Yield (images, encodings) with images (accum, batch, H, W, 1) in [-1, 1].
 
@@ -161,6 +171,10 @@ def epoch_batches(
     ``precomputed`` = (array (N, ...), audio_files) substitutes a cached
     per-item array — e.g. VAE latent moments — for the PIL decode and the
     [-1, 1] image normalization; the array is indexed and grouped as-is.
+
+    ``start_group`` skips the first groups of the (shuffled) epoch — mid-epoch
+    resume: the shuffle is computed identically (same ``rng``), then iteration
+    continues from the first optimizer step not yet taken.
     """
     n = len(dataset) if precomputed is None else len(precomputed[0])
     order = np.arange(n)
@@ -168,7 +182,7 @@ def epoch_batches(
         rng.shuffle(order)
     group = batch_size * accum
     limit = (n // group) * group if drop_last else n
-    for start in range(0, limit, group):
+    for start in range(start_group * group, limit, group):
         idx = order[start : start + group]
         if precomputed is not None:
             arr, files = precomputed

@@ -306,7 +306,16 @@ class AudioDiffusionPipeline:
     # --------------------------------------------------------------- inversion
     def encode(self, images: List[Image.Image], steps: int = 50) -> jnp.ndarray:
         """Deterministic DDIM inversion: image -> noise (reference: pipeline:207-242).
-        Feeding the result back as ``noise=`` reproduces the image."""
+        Feeding the result back as ``noise=`` reproduces the image.
+
+        For a latent pipeline the image is first VAE-encoded (posterior MODE,
+        not a sample — inversion must be deterministic) and the inversion runs
+        in latent space, so the returned noise has the UNet's latent shape.
+        This unlocks the reference's latent-slerp workflow
+        (test_model.ipynb cells 39-47) as ``slerp(encode(a), encode(b), α)``
+        fed back through ``noise=``. The reference's own ``encode`` runs the
+        UNet directly on pixel images even when a VAE is present — silently
+        shape-wrong for latent models (pipeline:207-242); fixed here."""
         assert isinstance(self.scheduler, DDIMScheduler), "encode requires DDIM (deterministic)"
         schedule = self.scheduler.schedule(steps)
         arr = np.stack(
@@ -314,6 +323,15 @@ class AudioDiffusionPipeline:
         )
         sample = (jnp.asarray(arr, dtype=jnp.float32) / 255.0) * 2.0 - 1.0
         sample = sample[..., None]  # NHWC
+
+        if self.is_latent:
+            if "vae_encode_mode" not in self._compiled:
+                self._compiled["vae_encode_mode"] = jax.jit(
+                    lambda p, x: LATENT_SCALE * self.vqvae.apply(
+                        {"params": p}, x, method=self.vqvae.encode
+                    ).mode()
+                )
+            sample = self._compiled["vae_encode_mode"](self.vqvae_params, sample)
 
         cache_key = ("encode", steps)
         if cache_key not in self._compiled:

@@ -4,7 +4,10 @@ The reference's resume story is a crude fast-forward replay of optimizer/LR
 steps (reference: scripts/train_unet.py:216-224) plus a full pipeline
 ``save_pretrained`` every N epochs. On TPU, preemption is routine, so the full
 train state (params + optimizer + EMA + step) checkpoints atomically and
-restores exactly (SURVEY.md §5.3-5.4).
+restores exactly — including the data stream: epoch shuffles derive from
+(seed, epoch) and mid-epoch resume skips exactly the steps already taken
+(data.dataset.epoch_rng / loop.py), so a resumed run replays the straight
+run's batch sequence (SURVEY.md §5.3-5.4).
 
 Two backends:
 

@@ -20,7 +20,7 @@ from typing import Optional
 import jax
 import numpy as np
 
-from ..data.dataset import ImageSliceDataset, epoch_batches, load_encodings, prefetch
+from ..data.dataset import ImageSliceDataset, epoch_batches, epoch_rng, load_encodings, prefetch
 from ..mel import Mel
 from ..models.unet2d import UNet2D, conditional_config, unconditional_config
 from ..parallel.mesh import is_main_process, make_mesh, replicated
@@ -187,17 +187,21 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
     mel = Mel(x_res=resolution[1], y_res=resolution[0], hop_length=run.hop_length,
               sample_rate=run.sample_rate, n_fft=run.n_fft)
 
-    rng = np.random.default_rng(run.seed)
-    # Eval-time encoding picks use their own stream: `rng` is consumed inside
-    # the prefetch worker thread (epoch shuffles), so sharing it would make
-    # eval selection timing-dependent and race a non-thread-safe Generator.
+    # Eval-time encoding picks use their own stream (epoch shuffles come from
+    # per-epoch epoch_rng generators consumed inside the prefetch worker
+    # thread; sharing one Generator would make eval selection timing-dependent
+    # and race a non-thread-safe Generator).
     eval_rng = np.random.default_rng(run.seed + 0x5EED)
     global_step = int(state.step)
     last_metrics = None
     t_start = time.time()
     t_last_log = None
     steps_last_log = global_step
+    # Resume reproduces the straight run's exact data stream: each epoch's
+    # shuffle derives from (seed, epoch), and a mid-epoch restore skips the
+    # optimizer-step groups already taken in that epoch.
     start_epoch = global_step // max(steps_per_epoch, 1)
+    resume_skip = global_step - start_epoch * steps_per_epoch
     done = False
 
     def place(batch):
@@ -208,7 +212,9 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
 
     for epoch in range(start_epoch, run.num_epochs):
         for images, enc in prefetch(
-            epoch_batches(dataset, micro, accum, rng, encodings, precomputed=precomputed),
+            epoch_batches(dataset, micro, accum, epoch_rng(run.seed, epoch), encodings,
+                          precomputed=precomputed,
+                          start_group=resume_skip if epoch == start_epoch else 0),
             transform=place,
         ):
             key = jax.random.fold_in(jax.random.key(run.seed), global_step)
@@ -239,9 +245,15 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
                 break
 
         should_save = (epoch + 1) % run.save_model_epochs == 0 or epoch == run.num_epochs - 1 or done
-        # Samples only go to tensorboard — without a writer the gather+generate
-        # would be dead work.
-        should_sample = (epoch + 1) % run.save_images_epochs == 0 and writer is not None
+        # should_sample must be computed IDENTICALLY on every process: the
+        # gather below is a collective all hosts must enter together, and
+        # `writer` exists only on the main process — gating the gather on it
+        # would deadlock a pod run. Single-process runs without a writer may
+        # still skip (samples only go to tensorboard; the gather+generate
+        # would be dead work there, and there is no collective to miss).
+        should_sample = (epoch + 1) % run.save_images_epochs == 0 and (
+            writer is not None or jax.process_count() > 1
+        )
         eval_pipe = None
         host_state = None
         if should_save or should_sample:
@@ -282,6 +294,11 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
                                      sample_rate=out.sample_rate)
             except ImportError:  # tensorboardX add_audio needs soundfile
                 logger.warning("soundfile unavailable; skipping tensorboard audio logging")
+        if should_save or should_sample:
+            # The gather/save/eval above is wall time that is not training —
+            # reset the throughput window so the next logged steps_per_sec
+            # measures pure training steps (CLAUDE.md measurement discipline).
+            t_last_log = None
         if done:
             break
 

@@ -140,9 +140,11 @@ def precompute_latent_moments(vqvae, vqvae_params, dataset, chunk: int = 16):
     mean ‖ logvar, audio_files).
 
     Latent training then samples the posterior per step from the cached
-    moments (``make_train_step(cached_latents=True)``) — bit-identical math
-    to re-running the encoder every microbatch (the encoder is deterministic
-    given the image; only the sample is stochastic), trading a one-time
+    moments (``make_train_step(cached_latents=True)``) — numerically
+    equivalent to re-running the encoder every microbatch (same
+    DiagonalGaussian formula and RNG key; the moments come from a separately
+    jitted program at a different batch shape, so compile-level reduction
+    rounding may differ at float-epsilon scale), trading a one-time
     O(dataset) encode for per-step encoder FLOPs. The reference re-encodes
     every step (train_unet.py:232-235).
     """
@@ -194,9 +196,10 @@ def make_train_step(
 
     With ``cached_latents`` the ``images`` slot carries precomputed VAE
     posterior moments (..., 2*latent_channels: mean ‖ logvar) and the step
-    samples the posterior directly — bit-identical to running the encoder
-    (same DiagonalGaussian formula, same key), without the encoder FLOPs on
-    every microbatch.
+    samples the posterior directly — numerically equivalent to running the
+    encoder (same DiagonalGaussian formula, same key; compile-level rounding
+    of the cached moments may differ at float-epsilon scale), without the
+    encoder FLOPs on every microbatch.
     """
     optimizer = make_optimizer(cfg)
     ema = EMA(cfg.ema_inv_gamma, cfg.ema_power, cfg.ema_max_decay)

@@ -126,6 +126,83 @@ def test_latent_pipeline_end_to_end():
     assert raw.shape == (1, 16, 16)
 
 
+def test_latent_encode_inverts_in_latent_space():
+    """pipeline.encode() on a latent pipeline VAE-encodes (posterior mode)
+    and runs DDIM inversion over LATENTS: the returned noise has the latent
+    shape, and feeding it back through noise= reproduces the VAE decode of
+    the mode latent (exact-linear UNet makes the inversion an exact inverse;
+    the reference runs its UNet on raw pixels here — shape-wrong for latent
+    models, pipeline:207-242 — which this framework fixes)."""
+    from PIL import Image
+
+    from audio_diffusion_tpu.mel import Mel
+    from audio_diffusion_tpu.models import UNetConfig
+    from audio_diffusion_tpu.pipelines import AudioDiffusionPipeline
+    from audio_diffusion_tpu.pipelines.pipeline import LATENT_SCALE, postprocess_images
+    from audio_diffusion_tpu.schedulers import DDIMScheduler, SchedulerConfig
+    from test_pipeline import _TimestepOnlyUNet
+
+    vae = AutoencoderKL(tiny_vae_config(latent_channels=1))
+    vae_params = vae.init_params(jax.random.key(0), sample_hw=(16, 16))
+
+    cfg = UNetConfig(sample_size=(8, 8), block_out_channels=(8, 16))
+    pattern = np.random.default_rng(3).standard_normal((8, 8, 1)).astype(np.float32) * 0.3
+    unet = _TimestepOnlyUNet(cfg, pattern)
+    sched = DDIMScheduler(SchedulerConfig(clip_sample=False))
+    mel = Mel(x_res=16, y_res=16, hop_length=512, n_iter=2)
+    pipe = AudioDiffusionPipeline(unet, {}, mel, sched, vqvae=vae, vqvae_params=vae_params)
+
+    img = Image.fromarray(np.random.default_rng(4).integers(0, 256, (16, 16), dtype=np.uint8))
+    noise = pipe.encode([img], steps=5)
+    assert noise.shape == (1, 8, 8, 1), "latent encode must return latent-shaped noise"
+
+    # Reproduction target: decode of the deterministic mode latent.
+    x = (jnp.asarray(np.asarray(img), dtype=jnp.float32)[None, ..., None] / 255.0) * 2.0 - 1.0
+    z = LATENT_SCALE * vae.apply({"params": vae_params}, x, method=vae.encode).mode()
+    expected = np.asarray(postprocess_images(
+        vae.apply({"params": vae_params}, z / LATENT_SCALE, method=vae.decode)
+    ))
+
+    raw = pipe(batch_size=1, steps=5, noise=noise, return_images_only=True)
+    mae = np.abs(raw.astype(float) - expected.astype(float)).mean()
+    assert mae < 3.0, f"latent inversion roundtrip MAE {mae}"
+
+
+def test_latent_slerp_workflow():
+    """Latent slerp (reference test_model.ipynb cells 39-47): slerp two
+    latent-encoded noises, generate — output is valid and differs from both
+    endpoints' reconstructions."""
+    from PIL import Image
+
+    from audio_diffusion_tpu.mel import Mel
+    from audio_diffusion_tpu.models import UNetConfig
+    from audio_diffusion_tpu.pipelines import AudioDiffusionPipeline
+    from audio_diffusion_tpu.schedulers import DDIMScheduler, SchedulerConfig
+    from test_pipeline import _TimestepOnlyUNet
+
+    vae = AutoencoderKL(tiny_vae_config(latent_channels=1))
+    vae_params = vae.init_params(jax.random.key(0), sample_hw=(16, 16))
+    cfg = UNetConfig(sample_size=(8, 8), block_out_channels=(8, 16))
+    pattern = np.random.default_rng(5).standard_normal((8, 8, 1)).astype(np.float32) * 0.3
+    pipe = AudioDiffusionPipeline(
+        _TimestepOnlyUNet(cfg, pattern), {},
+        Mel(x_res=16, y_res=16, hop_length=512, n_iter=2),
+        DDIMScheduler(SchedulerConfig(clip_sample=False)),
+        vqvae=vae, vqvae_params=vae_params,
+    )
+    rng = np.random.default_rng(6)
+    img_a = Image.fromarray(rng.integers(0, 256, (16, 16), dtype=np.uint8))
+    img_b = Image.fromarray(rng.integers(0, 256, (16, 16), dtype=np.uint8))
+    na = pipe.encode([img_a], steps=4)
+    nb = pipe.encode([img_b], steps=4)
+    mid = AudioDiffusionPipeline.slerp(na, nb, 0.5)
+    a = pipe(batch_size=1, steps=4, noise=na, return_images_only=True)
+    b = pipe(batch_size=1, steps=4, noise=nb, return_images_only=True)
+    m = pipe(batch_size=1, steps=4, noise=mid, return_images_only=True)
+    assert m.shape == (1, 16, 16)
+    assert not np.array_equal(m, a) and not np.array_equal(m, b)
+
+
 def test_vae_config_roundtrip(tmp_path):
     cfg = tiny_vae_config()
     cfg.save_config(str(tmp_path))
