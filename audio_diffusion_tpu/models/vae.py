@@ -72,6 +72,12 @@ class DiagonalGaussian:
 
 
 class VAEResnetBlock(nn.Module):
+    """Norms run compute-dtype I/O with f32 statistics (flax GroupNorm's
+    force_float32_reductions): in bf16 configs the normalized activations
+    feed the convs in bf16 instead of bouncing through f32 — the same
+    measured win as the UNet's round-2 norm change (BASELINE.md ledger);
+    f32 configs are bit-unchanged (torch-twin parity gates)."""
+
     out_channels: int
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
@@ -79,10 +85,10 @@ class VAEResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm2")(h)
+        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_channels:
@@ -100,7 +106,7 @@ class VAEAttention(nn.Module):
     def __call__(self, x):
         B, H, W, C = x.shape
         residual = x
-        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="group_norm")(x)
+        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name="group_norm")(x)
         h = h.reshape(B, H * W, C)
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
@@ -131,7 +137,7 @@ class Encoder(nn.Module):
         x = VAEResnetBlock(mid_ch, cfg.norm_num_groups, dtype, name="mid_res_0")(x)
         x = VAEAttention(cfg.norm_num_groups, dtype, name="mid_attn")(x)
         x = VAEResnetBlock(mid_ch, cfg.norm_num_groups, dtype, name="mid_res_1")(x)
-        x = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(x)
+        x = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, dtype=dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=jnp.float32, name="conv_out")(x)
 
@@ -159,7 +165,7 @@ class Decoder(nn.Module):
                 from .unet2d import _DilatedUpConv
 
                 x = _DilatedUpConv(out_ch, dtype, name=f"up_{i}_upsample")(x)
-        x = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(x)
+        x = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, dtype=dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32, name="conv_out")(x)
 

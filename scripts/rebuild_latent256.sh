@@ -1,0 +1,78 @@
+#!/usr/bin/env bash
+# One-command, pinned-seed rebuild of the trained 256x256 latent-diffusion
+# pipeline behind the repo's headline throughput claim (BASELINE.md:
+# "CLEARED ... by the latent configuration"). The trained weights are too
+# large to commit (~750 MB), so this script IS the committed artifact
+# (VERDICT r2 next-step #2): every stage is seeded, step counts are pinned,
+# and the script ends by benching the result and printing the fidelity
+# numbers. ~35-45 min on one TPU v5e (mostly VAE training + first compiles).
+#
+# Usage:   bash scripts/rebuild_latent256.sh [OUTPUT_DIR]
+# Output:  OUTPUT_DIR (default models/latent-audio-diffusion-256) — a saved
+#          AudioDiffusionPipeline directory loadable with from_pretrained and
+#          benchable with `python bench.py --pipeline OUTPUT_DIR`.
+#
+# Recipe (the reference's own latent path, README.md:142-197, at its exact
+# architecture): 48-slice synthetic corpus -> 256x256 mel dataset -> KL-VAE
+# (LDM config ch 128x[1,2,4,4] -> 1-ch 32x32 latents; pyramid-L1 + KL 1e-6 +
+# PatchGAN hinge disc from step 600) -> 6-block UNet over latents (bf16,
+# flat batch 16, cached latent moments) -> DDIM sampling through VAE decode.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+OUT=${1:-models/latent-audio-diffusion-256}
+WORK=${WORK:-/root/scratch/rebuild256}
+mkdir -p "$WORK"
+
+echo "== [1/5] synthetic corpus (seed 42) =="
+python scripts/make_audio.py --output_dir "$WORK/audio" --files 24 --slices 2 --seed 42
+
+echo "== [2/5] 256x256 mel dataset =="
+python scripts/audio_to_images.py --resolution 256 --hop_length 512 \
+    --input_dir "$WORK/audio" --output_dir "$WORK/ds"
+
+echo "== [3/5] KL-VAE (1400 steps, disc from 600, seed 0) =="
+python scripts/train_vae.py -d "$WORK/ds" -b 2 --max_steps 1400 --disc_start 600 \
+    --hf_checkpoint_dir "$WORK/vae" --seed 0
+
+echo "== [4/5] latent UNet (1000 steps, bf16, batch 16, seed 0) =="
+python scripts/train_unet.py --dataset "$WORK/ds" --vae "$WORK/vae" \
+    --output_dir "$OUT" --train_batch_size 16 --scheduler ddim \
+    --mixed_precision bf16 --max_steps 1000 --num_epochs 1000 \
+    --lr_warmup_steps 100 --save_images_epochs 100000 --save_model_epochs 100000 \
+    --seed 0
+
+echo "== [5/5] bench + fidelity =="
+python bench.py --pipeline "$OUT"
+python - "$OUT" "$WORK/ds" <<'EOF'
+# Fidelity record: VAE reconstruction MAE + generated-sample nearest-neighbor
+# MAE vs the training set (the numbers BASELINE.md reports for this recipe).
+import sys
+
+import jax, jax.numpy as jnp, numpy as np
+
+sys.path.insert(0, ".")
+from audio_diffusion_tpu.data.dataset import ImageSliceDataset, normalize_image
+from audio_diffusion_tpu.pipelines import AudioDiffusionPipeline
+
+out_dir, ds_dir = sys.argv[1], sys.argv[2]
+pipe = AudioDiffusionPipeline.from_pretrained(out_dir)
+ds = ImageSliceDataset(ds_dir)
+imgs = np.stack([ds.get(i)["image"] for i in range(len(ds))])
+
+# VAE roundtrip on held-out-ish slices (last 8)
+x = jnp.asarray(normalize_image(imgs[-8:]))[..., None]
+rec = jax.jit(lambda p, x: pipe.vqvae.apply(
+    {"params": p}, pipe.vqvae.apply({"params": p}, x, method=pipe.vqvae.encode).mode(),
+    method=pipe.vqvae.decode))(pipe.vqvae_params, x)
+rec_u8 = np.asarray(jnp.clip((rec[..., 0] / 2 + 0.5) * 255, 0, 255)).astype(np.uint8)
+vae_mae = float(np.abs(rec_u8.astype(float) - imgs[-8:].astype(float)).mean())
+
+# Generated samples vs training set (nearest-neighbor MAE; random baseline ~72)
+raw = pipe(batch_size=8, steps=50, key=jax.random.key(123), return_images_only=True)
+nn_mae = [float(np.abs(imgs.astype(float) - r.astype(float)).mean(axis=(1, 2)).min())
+          for r in np.asarray(raw)]
+print({"vae_recon_mae_uint8": round(vae_mae, 1),
+       "sample_nn_mae_uint8": [round(v, 1) for v in nn_mae]})
+EOF
+echo "== rebuild complete: $OUT =="
