@@ -416,10 +416,17 @@ class AudioDiffusionPipeline:
             raise ValueError(f"{path!r} is corrupt or truncated: {e}") from e
 
     @classmethod
-    def from_pretrained(cls, directory: str) -> "AudioDiffusionPipeline":
+    def from_pretrained(cls, directory: str, dtype: Optional[str] = None) -> "AudioDiffusionPipeline":
         """Load a pipeline saved by :meth:`save_pretrained`. Directories written
         by the reference (torch diffusers format) load via
-        ``utils.torch_import.pipeline_from_torch_pretrained``."""
+        ``utils.torch_import.pipeline_from_torch_pretrained``.
+
+        ``dtype`` ("float32" | "bfloat16") overrides the COMPUTE dtype of the
+        UNet and VAE for serving — parameters stay in their stored precision
+        (f32); only activations/matmuls run in the override. Serving a
+        f32-trained pipeline with ``dtype="bfloat16"`` recovers the bf16
+        throughput (measured: the f32 VAE decode is ~2x the bf16 one,
+        BASELINE.md latent ledger) at bf16-rounding output differences."""
         if not os.path.isdir(directory):
             raise FileNotFoundError(
                 f"{directory!r} is not a local directory. This framework loads local "
@@ -437,6 +444,8 @@ class AudioDiffusionPipeline:
             return pipeline_from_torch_pretrained(directory)
 
         unet_cfg = UNetConfig.from_pretrained(unet_dir)
+        if dtype is not None:
+            unet_cfg = dataclasses.replace(unet_cfg, dtype=dtype)
         unet = UNet2D(unet_cfg)
         template = unet.init_params(jax.random.key(0))
         unet_params = cls._read_params(os.path.join(unet_dir, "params.msgpack"), template)
@@ -450,6 +459,8 @@ class AudioDiffusionPipeline:
             from ..models.vae import AutoencoderKL, VAEConfig
 
             vae_cfg = VAEConfig.from_pretrained(vae_dir)
+            if dtype is not None:
+                vae_cfg = dataclasses.replace(vae_cfg, dtype=dtype)
             vqvae = AutoencoderKL(vae_cfg)
             vae_template = vqvae.init_params(jax.random.key(0))
             vqvae_params = cls._read_params(os.path.join(vae_dir, "params.msgpack"), vae_template)

@@ -205,18 +205,27 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
     done = False
 
     def place(batch):
-        """Runs on the prefetch thread: H2D transfer overlaps the device step."""
         images, enc = batch
         return (jax.device_put(images, img_sh),
                 jax.device_put(enc, enc_sh) if enc is not None else None)
 
+    # Single-process: H2D runs on the prefetch thread, overlapping the device
+    # step. Multi-process: device_put onto a cross-process mesh coordinates
+    # between hosts, so EVERY mesh-visible op (placement, step, gather) must
+    # issue from the main thread in the same order on every process —
+    # placement from the prefetch thread interleaves differently per host and
+    # deadlocks (observed live on the 2-process CPU harness). The prefetch
+    # thread still overlaps decode + normalization.
+    threaded_place = jax.process_count() == 1
+
     for epoch in range(start_epoch, run.num_epochs):
-        for images, enc in prefetch(
+        for batch in prefetch(
             epoch_batches(dataset, micro, accum, epoch_rng(run.seed, epoch), encodings,
                           precomputed=precomputed,
                           start_group=resume_skip if epoch == start_epoch else 0),
-            transform=place,
+            transform=place if threaded_place else None,
         ):
+            images, enc = batch if threaded_place else place(batch)
             key = jax.random.fold_in(jax.random.key(run.seed), global_step)
             state, metrics = step_fn(state, images, enc, key)
             last_metrics = metrics

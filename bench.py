@@ -61,12 +61,19 @@ def build_latent_pipeline(resolution: int, dtype: str) -> AudioDiffusionPipeline
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--batch", type=int, default=16)
+    # Serving batch: 32 measures ~4% above 16 on the latent path (69.4 vs
+    # 66.5 samples/s on the v5e — BASELINE.md latent ledger); throughput is
+    # flat beyond the knee.
+    p.add_argument("--batch", type=int, default=32)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--resolution", type=int, default=256)
     p.add_argument("--quick", action="store_true", help="small model smoke run")
-    p.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--dtype", type=str, default=None, choices=["float32", "bfloat16"],
+                   help="compute dtype; default bfloat16 for random-init configs. With "
+                        "--pipeline, overrides the SAVED compute dtype for serving "
+                        "(params stay f32) — e.g. bfloat16 to serve an f32-trained VAE "
+                        "at bf16 throughput")
     p.add_argument("--pixel", action="store_true",
                    help="bench the pixel-space path (6-block UNet directly at "
                         "--resolution) instead of the default latent recipe — "
@@ -83,10 +90,12 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.latency:
         args.batch = 1
+    if not args.pipeline and args.dtype is None:
+        args.dtype = "bfloat16"
 
     trained = False
     if args.pipeline:
-        pipe = AudioDiffusionPipeline.from_pretrained(args.pipeline)
+        pipe = AudioDiffusionPipeline.from_pretrained(args.pipeline, dtype=args.dtype)
         out_hw = (pipe.mel.y_res, pipe.mel.x_res)
         kind = "latent " if pipe.is_latent else ""
         trained = True

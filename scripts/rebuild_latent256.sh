@@ -43,7 +43,8 @@ python scripts/train_unet.py --dataset "$WORK/ds" --vae "$WORK/vae" \
     --seed 0
 
 echo "== [5/5] bench + fidelity =="
-python bench.py --pipeline "$OUT"
+python bench.py --pipeline "$OUT"                    # saved precision (f32 VAE)
+python bench.py --pipeline "$OUT" --dtype bfloat16   # bf16 serving override (~70/s)
 python - "$OUT" "$WORK/ds" <<'EOF'
 # Fidelity record: VAE reconstruction MAE + generated-sample nearest-neighbor
 # MAE vs the training set (the numbers BASELINE.md reports for this recipe).

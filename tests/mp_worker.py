@@ -40,6 +40,13 @@ def main() -> None:
     assert jax.device_count() == 8, jax.device_count()
     assert jax.local_device_count() == 4, jax.local_device_count()
 
+    print(f"[worker {process_id}] initialized: {jax.device_count()} devices", flush=True)
+
+    import logging
+
+    logging.basicConfig(level=logging.INFO,
+                        format=f"[worker {process_id}] %(message)s", force=True)
+
     from audio_diffusion_tpu.training.loop import RunConfig, run_training
     from audio_diffusion_tpu.training.train_unet import TrainConfig
 
@@ -49,18 +56,20 @@ def main() -> None:
         num_epochs=50,
         train_batch_size=8,
         eval_batch_size=2,
-        save_images_epochs=1,  # exercise the all-hosts gather every epoch
-        save_model_epochs=2,
+        save_images_epochs=2,  # epoch 1 is sample-only: exercises the
+        # all-hosts gather WITHOUT a save (the pod-deadlock path)
+        save_model_epochs=4,
         scheduler="ddim",
         num_train_steps=100,
         hop_length=512,
         from_pretrained=os.path.join(work, "seed"),
         mesh_data=8,
         seed=11,
-        log_every=100,
+        log_every=1,
         max_steps=max_steps,
     )
     result = run_training(run, TrainConfig(lr_warmup_steps=2, use_ema=True, param_sharding="fsdp"))
+    print(f"[worker {process_id}] training done: {result['steps']} steps", flush=True)
 
     with open(os.path.join(work, f"result_{process_id}.json"), "w") as fh:
         json.dump({

@@ -68,25 +68,38 @@ def _build_workdir(tmp_path) -> str:
     return work
 
 
-def _launch(work: str, port: int, max_steps: int, timeout: int = 600):
+def _launch(work: str, port: int, max_steps: int, timeout: int = 1500):
+    # generous timeout: under full-suite + concurrent-TPU-job host load the
+    # workers run several times slower than standalone (observed 600 s miss)
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "mp_worker.py")
     env = dict(os.environ)
+    # Workers stream to files so a hang leaves a diagnosable trail.
+    logs = [open(os.path.join(work, f"worker_{pid}_{port}.log"), "w") for pid in (0, 1)]
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(pid), str(port), work, str(max_steps)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+            stdout=log, stderr=subprocess.STDOUT, text=True, env=env,
         )
-        for pid in (0, 1)
+        for pid, log in zip((0, 1), logs)
     ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out)
+    try:
+        for p in procs:
+            try:
+                p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                for q in procs:
+                    q.wait()
+                raise AssertionError(
+                    "worker timeout\n" + "\n".join(
+                        f"--- worker {pid} ---\n" + open(log.name).read()[-3000:]
+                        for pid, log in zip((0, 1), logs))
+                )
+    finally:
+        for log in logs:
+            log.close()
+    outs = [open(log.name).read() for log in logs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker rc={p.returncode}\n{out[-4000:]}"
     return outs
@@ -128,8 +141,8 @@ def test_two_process_fsdp_training_with_resume_and_parity(tmp_path):
     single_out = os.path.join(work, "model_single")
     run = RunConfig(
         dataset=os.path.join(work, "ds"), output_dir=single_out, num_epochs=50,
-        train_batch_size=8, eval_batch_size=2, save_images_epochs=1,
-        save_model_epochs=2, scheduler="ddim", num_train_steps=100,
+        train_batch_size=8, eval_batch_size=2, save_images_epochs=2,
+        save_model_epochs=4, scheduler="ddim", num_train_steps=100,
         hop_length=HOP, from_pretrained=os.path.join(work, "seed"),
         mesh_data=8, seed=11, log_every=100, max_steps=8,
     )
