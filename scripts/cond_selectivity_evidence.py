@@ -71,7 +71,11 @@ def main(argv=None):
     p.add_argument("--work", type=str, default="/root/scratch/cond_ev")
     p.add_argument("--files_per_class", type=int, default=6)
     p.add_argument("--vae_steps", type=int, default=1200)
-    p.add_argument("--unet_steps", type=int, default=4000)
+    p.add_argument("--unet_steps", type=int, default=6000)
+    # Conditioning gradients come almost entirely from high-noise timesteps
+    # (class identity is readable from x_t elsewhere — see
+    # tests/test_conditioning.py docstring), so selectivity needs more steps
+    # than loss convergence suggests; 6000 cached-latent steps is ~3 min.
     p.add_argument("--seed", type=int, default=0)
     a = p.parse_args(argv)
 

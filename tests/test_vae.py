@@ -203,6 +203,44 @@ def test_latent_slerp_workflow():
     assert not np.array_equal(m, a) and not np.array_equal(m, b)
 
 
+def test_from_pretrained_dtype_override(tmp_path):
+    """Serving-time compute-dtype override: an f32-saved latent pipeline loads
+    with dtype='bfloat16' (params stay f32, activations run bf16) and
+    generates output close to the f32 run — the knob that takes the f32-
+    trained rebuild artifact from 58.4 to 70.3 samples/s (BASELINE.md)."""
+    import jax.numpy as jnp
+
+    from audio_diffusion_tpu.mel import Mel
+    from audio_diffusion_tpu.models import UNet2D, UNetConfig
+    from audio_diffusion_tpu.pipelines import AudioDiffusionPipeline
+    from audio_diffusion_tpu.schedulers import DDIMScheduler
+
+    vae = AutoencoderKL(tiny_vae_config(latent_channels=1))
+    vae_params = vae.init_params(jax.random.key(0), sample_hw=(16, 16))
+    cfg = UNetConfig(sample_size=(8, 8), block_out_channels=(8, 16),
+                     down_block_types=("DownBlock2D", "DownBlock2D"),
+                     up_block_types=("UpBlock2D", "UpBlock2D"),
+                     layers_per_block=1, norm_num_groups=4)
+    unet = UNet2D(cfg)
+    pipe = AudioDiffusionPipeline(unet, unet.init_params(jax.random.key(1)),
+                                  Mel(x_res=16, y_res=16, n_iter=2), DDIMScheduler(),
+                                  vqvae=vae, vqvae_params=vae_params)
+    pipe.save_pretrained(str(tmp_path))
+
+    bf16 = AudioDiffusionPipeline.from_pretrained(str(tmp_path), dtype="bfloat16")
+    assert bf16.unet.config.dtype == "bfloat16"
+    assert bf16.vqvae.config.dtype == "bfloat16"
+    # params stay f32
+    leaf = jax.tree_util.tree_leaves(bf16.unet_params)[0]
+    assert leaf.dtype == jnp.float32
+
+    a = pipe(batch_size=1, steps=3, key=jax.random.key(5), return_images_only=True)
+    b = bf16(batch_size=1, steps=3, key=jax.random.key(5), return_images_only=True)
+    assert b.shape == a.shape
+    # bf16 rounding, not divergence
+    assert np.abs(a.astype(float) - b.astype(float)).mean() < 16.0
+
+
 def test_vae_config_roundtrip(tmp_path):
     cfg = tiny_vae_config()
     cfg.save_config(str(tmp_path))
