@@ -61,10 +61,10 @@ def build_latent_pipeline(resolution: int, dtype: str) -> AudioDiffusionPipeline
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    # Serving batch: 32 measures ~4% above 16 on the latent path (69.4 vs
-    # 66.5 samples/s on the v5e — BASELINE.md latent ledger); throughput is
-    # flat beyond the knee.
-    p.add_argument("--batch", type=int, default=32)
+    # Serving batch default: 32 for the latent paths (measures ~4% above 16,
+    # BASELINE.md latent ledger), 16 for --pixel/--quick (the pixel knee;
+    # larger batches buy nothing on the FLOP-capped path).
+    p.add_argument("--batch", type=int, default=None)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--resolution", type=int, default=256)
@@ -88,6 +88,8 @@ def main(argv=None):
                         "latent model from scripts/rebuild_latent256.sh) instead "
                         "of random-init weights")
     args = p.parse_args(argv)
+    if args.batch is None:
+        args.batch = 16 if (args.pixel or args.quick) else 32
     if args.latency:
         args.batch = 1
     if not args.pipeline and args.dtype is None:
