@@ -441,7 +441,7 @@ class AudioDiffusionPipeline:
         if not os.path.exists(os.path.join(unet_dir, "params.msgpack")):
             from ..utils.torch_import import pipeline_from_torch_pretrained
 
-            return pipeline_from_torch_pretrained(directory)
+            return pipeline_from_torch_pretrained(directory, dtype=dtype)
 
         unet_cfg = UNetConfig.from_pretrained(unet_dir)
         if dtype is not None:

@@ -124,7 +124,14 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
 
     dtype = "bfloat16" if run.mixed_precision == "bf16" else "float32"
     if run.from_pretrained is not None:
-        pipe = AudioDiffusionPipeline.from_pretrained(run.from_pretrained)
+        # --mixed_precision bf16 overrides the loaded pipeline's compute dtype
+        # (params stay f32; pipeline.from_pretrained docstring). Without the
+        # flag the SAVED dtype wins — the flag's "no" default must not
+        # silently downgrade a bf16-saved pipeline to f32 compute.
+        pipe = AudioDiffusionPipeline.from_pretrained(
+            run.from_pretrained,
+            dtype="bfloat16" if run.mixed_precision == "bf16" else None,
+        )
         unet, params = pipe.unet, pipe.unet_params
         if pipe.vqvae is not None:
             vqvae, vqvae_params = pipe.vqvae, pipe.vqvae_params
@@ -157,12 +164,18 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
         logger.info("resumed from step %d", int(state.step))
     state = shard_train_state(state, mesh, train)
 
+    vqvae_host_params = None
     if vqvae_params is not None:
+        # Host copy first: on a pod, rank-0's eval generation runs LOCAL
+        # programs, and params committed to the global cross-host mesh must
+        # not leak into them (non-addressable devices -> placement error or a
+        # multihost launch the other ranks never enter).
+        vqvae_host_params = jax.device_get(vqvae_params)
         # Replicate on the mesh BEFORE the step closes over it: jit inlines
         # closed-over numpy trees into the HLO as constants (remote-compile
         # HTTP 413 risk for big VAEs, CLAUDE.md) but captures device arrays
         # as runtime buffers.
-        vqvae_params = jax.device_put(vqvae_params, replicated(mesh))
+        vqvae_params = jax.device_put(vqvae_host_params, replicated(mesh))
 
     precomputed = None
     if vqvae is not None and run.cache_latents:
@@ -278,7 +291,14 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
                 eval_params = host_state.ema_params if train.use_ema else host_state.params
             else:
                 eval_params = gather_to_host(state.ema_params if train.use_ema else state.params)
-            eval_pipe = AudioDiffusionPipeline(unet, eval_params, mel, scheduler, vqvae, vqvae_params)
+            # Only the main process USES the pipeline (save + tensorboard
+            # sampling); constructing it re-commits the full UNet tree to
+            # device, so skip that H2D on every other rank. Single-process
+            # eval reuses the mesh-committed VAE tree (no re-upload); a pod's
+            # rank-0 eval takes the host copy so its programs stay local.
+            if is_main_process():
+                eval_vae = vqvae_params if jax.process_count() == 1 else vqvae_host_params
+                eval_pipe = AudioDiffusionPipeline(unet, eval_params, mel, scheduler, vqvae, eval_vae)
 
         if should_save and is_main_process():
             eval_pipe.save_pretrained(run.output_dir)

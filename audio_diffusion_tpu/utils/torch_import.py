@@ -478,9 +478,15 @@ def _check_structure(template, converted):
     )
 
 
-def pipeline_from_torch_pretrained(directory: str):
+def pipeline_from_torch_pretrained(directory: str, dtype: str | None = None):
     """Load a torch diffusers AudioDiffusionPipeline directory (the published
-    HF checkpoints) into this framework's pipeline."""
+    HF checkpoints) into this framework's pipeline.
+
+    ``dtype`` overrides the COMPUTE dtype of the UNet and VAE (params stay in
+    their stored precision) — same serving-time override as
+    :meth:`AudioDiffusionPipeline.from_pretrained`."""
+    import dataclasses
+
     import jax
 
     from ..mel import Mel
@@ -494,6 +500,8 @@ def pipeline_from_torch_pretrained(directory: str):
     if unet_cfg_raw.get("_class_name") == "UNet2DConditionModel" and "cross_attention_dim" not in unet_cfg_raw:
         unet_cfg_raw["cross_attention_dim"] = 1280
     config = unet_config_from_diffusers(unet_cfg_raw)
+    if dtype is not None:
+        config = dataclasses.replace(config, dtype=dtype)
     unet = UNet2D(config)
     template = unet.init_params(jax.random.key(0))
     unet_params = _check_structure(template, convert_unet(load_torch_state_dict(unet_dir), config))
@@ -510,6 +518,8 @@ def pipeline_from_torch_pretrained(directory: str):
 
         with open(os.path.join(vae_dir, "config.json")) as fh:
             vae_cfg = vae_config_from_diffusers(json.load(fh))
+        if dtype is not None:
+            vae_cfg = dataclasses.replace(vae_cfg, dtype=dtype)
         vqvae = AutoencoderKL(vae_cfg)
         vae_template = vqvae.init_params(jax.random.key(0))
         vqvae_params = _check_structure(vae_template, convert_vae(load_torch_state_dict(vae_dir), vae_cfg))

@@ -144,8 +144,10 @@ def main(argv=None):
         if trained:
             assert raw.std() > 5.0, "degenerate spectrogram output"
         else:
-            assert raw.std() > 0.0 and np.isfinite(raw.astype(np.float32)).all(), \
-                "constant/NaN spectrogram output"
+            # (NaNs upstream cannot survive to here: the uint8 quantization
+            # clips them into range, so finiteness is vacuous — constancy and
+            # audio level are the meaningful random-init gates.)
+            assert raw.std() > 0.0, "constant spectrogram output"
 
     if args.latency:
         # Sequential request latency: materialize each output before the next
@@ -155,8 +157,9 @@ def main(argv=None):
             t0 = time.time()
             raw, audio = pipe(batch_size=1, steps=args.steps, key=jax.random.key(i + 1),
                               return_arrays=True, pcm16=True)
-            np.asarray(raw), np.asarray(audio)
+            raw, audio = np.asarray(raw), np.asarray(audio)
             times.append(time.time() - t0)
+            check(raw, audio)  # same fidelity gate as the throughput loop
         lat = float(np.median(times))
         out = {
             "metric": f"{out_hw[0]}x{out_hw[1]} {kind}single-sample latency, "

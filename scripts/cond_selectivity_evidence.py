@@ -13,6 +13,11 @@ on class k lands nearer class k's spectrograms than the other classes'
 One command, pinned seeds, ~45 min on one v5e:
     python scripts/cond_selectivity_evidence.py --work /root/scratch/cond_ev
 Results: JSON line + grid PNG under --work; numbers belong in BASELINE.md.
+
+The class synthesis below deliberately does NOT share code with
+scripts/make_audio.py (which has similar generators): the published
+selectivity numbers are a pinned-seed contract of THIS file, and must not
+drift when the general-purpose corpus generator changes.
 """
 
 import argparse
