@@ -124,15 +124,18 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
 
     dtype = "bfloat16" if run.mixed_precision == "bf16" else "float32"
     if run.from_pretrained is not None:
-        # --mixed_precision bf16 overrides the loaded pipeline's compute dtype
-        # (params stay f32; pipeline.from_pretrained docstring). Without the
-        # flag the SAVED dtype wins — the flag's "no" default must not
-        # silently downgrade a bf16-saved pipeline to f32 compute.
-        pipe = AudioDiffusionPipeline.from_pretrained(
-            run.from_pretrained,
-            dtype="bfloat16" if run.mixed_precision == "bf16" else None,
-        )
+        # --mixed_precision bf16 overrides the loaded UNet's compute dtype
+        # (params stay f32). Without the flag the SAVED dtype wins — the
+        # flag's "no" default must not silently downgrade a bf16-saved
+        # pipeline to f32 compute. The VAE is deliberately NOT overridden:
+        # during training it only encodes data into latent moments, and those
+        # must come out identical whether the VAE arrived via --vae (saved
+        # precision, line above) or inside a --from_pretrained pipeline —
+        # encode precision is part of the data, not of the training recipe.
+        pipe = AudioDiffusionPipeline.from_pretrained(run.from_pretrained)
         unet, params = pipe.unet, pipe.unet_params
+        if run.mixed_precision == "bf16" and unet.config.dtype != "bfloat16":
+            unet = UNet2D(dataclasses.replace(unet.config, dtype="bfloat16"))
         if pipe.vqvae is not None:
             vqvae, vqvae_params = pipe.vqvae, pipe.vqvae_params
     elif conditional:
@@ -169,13 +172,18 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
         # Host copy first: on a pod, rank-0's eval generation runs LOCAL
         # programs, and params committed to the global cross-host mesh must
         # not leak into them (non-addressable devices -> placement error or a
-        # multihost launch the other ranks never enter).
-        vqvae_host_params = jax.device_get(vqvae_params)
+        # multihost launch the other ranks never enter). Single-process runs
+        # eval straight off the mesh-committed tree, so don't pin a second
+        # full VAE tree in host RAM for the whole run there.
+        host_tree = jax.device_get(vqvae_params)
+        if jax.process_count() > 1:
+            vqvae_host_params = host_tree
         # Replicate on the mesh BEFORE the step closes over it: jit inlines
         # closed-over numpy trees into the HLO as constants (remote-compile
         # HTTP 413 risk for big VAEs, CLAUDE.md) but captures device arrays
         # as runtime buffers.
-        vqvae_params = jax.device_put(vqvae_host_params, replicated(mesh))
+        vqvae_params = jax.device_put(host_tree, replicated(mesh))
+        del host_tree
 
     precomputed = None
     if vqvae is not None and run.cache_latents:
@@ -230,6 +238,16 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
     # deadlocks (observed live on the 2-process CPU harness). The prefetch
     # thread still overlaps decode + normalization.
     threaded_place = jax.process_count() == 1
+
+    # A restored checkpoint may already satisfy max_steps (e.g. a retried
+    # preempted job re-running its exact command): train zero further steps
+    # instead of one extra, which would advance past the recorded stream and
+    # overwrite the finished checkpoint.
+    if run.max_steps and global_step >= run.max_steps:
+        logger.info("restored step %d already >= max_steps %d; nothing to train",
+                    global_step, run.max_steps)
+        return {"steps": global_step, "loss": float("nan"),
+                "seconds": time.time() - t_start, "output_dir": run.output_dir}
 
     for epoch in range(start_epoch, run.num_epochs):
         for batch in prefetch(

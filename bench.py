@@ -141,13 +141,14 @@ def main(argv=None):
         assert raw.dtype == np.uint8 and raw.shape[-2:] == tuple(out_hw), "bad spectrogram output"
         assert audio.dtype == np.int16
         assert np.abs(audio).max() > 1000, "silent/degenerate audio output"
-        if trained:
-            assert raw.std() > 5.0, "degenerate spectrogram output"
-        else:
-            # (NaNs upstream cannot survive to here: the uint8 quantization
-            # clips them into range, so finiteness is vacuous — constancy and
-            # audio level are the meaningful random-init gates.)
-            assert raw.std() > 0.0, "constant spectrogram output"
+        # (NaNs upstream cannot survive to here: the uint8 quantization clips
+        # them into range, so a finiteness check would be vacuous.) Trained
+        # pipelines and random-init PIXEL paths both emit high-contrast
+        # spectrograms (measured std ~100 on random-init pixel/quick), so
+        # they keep the contrast-collapse gate; only random-init LATENT output
+        # is legitimately low-contrast (mid-gray random-VAE decode).
+        min_std = 0.0 if (kind and not trained) else 5.0
+        assert raw.std() > min_std, "constant/degenerate spectrogram output"
 
     if args.latency:
         # Sequential request latency: materialize each output before the next

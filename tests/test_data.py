@@ -438,3 +438,59 @@ def test_latent_training_loop(dataset_dir, tmp_path):
         losses[cache] = result["loss"]
     # Same seed/keys: the cached and re-encode paths agree.
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4)
+
+
+def test_from_pretrained_bf16_overrides_unet_not_vae(dataset_dir, tmp_path):
+    """--mixed_precision bf16 with --from_pretrained switches the UNet's
+    COMPUTE dtype to bf16 but leaves the VAE at its saved precision: latent
+    moments are data, and must come out identical whether the VAE arrives
+    via --vae or inside a pipeline (round-3 review finding). Also: a
+    restored run that already satisfies max_steps trains ZERO further steps
+    instead of one extra (the reference re-runs its whole optimizer replay,
+    train_unet.py:216-224)."""
+    import jax
+
+    from audio_diffusion_tpu.mel import Mel
+    from audio_diffusion_tpu.models import UNet2D, UNetConfig
+    from audio_diffusion_tpu.models.vae import AutoencoderKL, VAEConfig
+    from audio_diffusion_tpu.pipelines import AudioDiffusionPipeline
+    from audio_diffusion_tpu.schedulers import DDIMScheduler, SchedulerConfig
+    from audio_diffusion_tpu.training.loop import RunConfig, run_training
+    from audio_diffusion_tpu.training.train_unet import TrainConfig
+
+    vae_cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                        latent_channels=1, sample_size=RES, norm_num_groups=4)
+    vae = AutoencoderKL(vae_cfg)
+    lat = RES // 2
+    unet_cfg = UNetConfig(sample_size=(lat, lat), block_out_channels=(8, 16),
+                          down_block_types=("DownBlock2D", "DownBlock2D"),
+                          up_block_types=("UpBlock2D", "UpBlock2D"),
+                          layers_per_block=1, norm_num_groups=4)
+    unet = UNet2D(unet_cfg)
+    seed_dir = str(tmp_path / "seed")
+    AudioDiffusionPipeline(
+        unet, unet.init_params(jax.random.key(1)),
+        Mel(x_res=RES, y_res=RES, hop_length=HOP, n_iter=2),
+        DDIMScheduler(SchedulerConfig(num_train_timesteps=100)),
+        vqvae=vae, vqvae_params=vae.init_params(jax.random.key(0), sample_hw=(RES, RES)),
+    ).save_pretrained(seed_dir)
+    assert unet_cfg.dtype == "float32" and vae_cfg.dtype == "float32"
+
+    out = str(tmp_path / "model")
+    run = RunConfig(
+        dataset=dataset_dir, output_dir=out, num_epochs=2, train_batch_size=2,
+        eval_batch_size=1, save_images_epochs=1000, save_model_epochs=1000,
+        scheduler="ddim", num_train_steps=100, hop_length=HOP, max_steps=2,
+        log_every=1, from_pretrained=seed_dir, mixed_precision="bf16",
+    )
+    result = run_training(run, TrainConfig(lr_warmup_steps=2, use_ema=False))
+    assert result["steps"] == 2 and np.isfinite(result["loss"])
+
+    saved = AudioDiffusionPipeline.from_pretrained(out)
+    assert saved.unet.config.dtype == "bfloat16"
+    assert saved.vqvae.config.dtype == "float32"
+
+    # Re-invoking the identical finished command must be a no-op, not a
+    # one-extra-step overwrite of the finished checkpoint.
+    again = run_training(run, TrainConfig(lr_warmup_steps=2, use_ema=False))
+    assert again["steps"] == 2 and np.isnan(again["loss"])
