@@ -254,7 +254,30 @@ class AudioDiffusionPipeline:
             mask_end = int(mask_end_secs * pixels_per_second)
 
         fn = self._denoise_fn(steps, start_step, float(eta), mask_start, mask_end, has_input, encoding is not None)
-        enc = jnp.asarray(encoding, dtype=jnp.float32) if encoding is not None else None
+        enc = None
+        if encoding is not None:
+            if not self.unet.config.is_conditional:
+                raise ValueError(
+                    "encoding= was passed but this pipeline's UNet is unconditional "
+                    "(config.cross_attention_dim is None) — the conditioning would be "
+                    "silently ignored. Load a conditional model or drop encoding=.")
+            enc = jnp.asarray(encoding, dtype=jnp.float32)
+            if enc.ndim == 2:
+                # (B, dim) — AudioEncoder's pooled output — promotes to a
+                # length-1 cross-attention sequence, matching the training
+                # batcher (data/dataset.py) and the reference workflow
+                # (encodings pickled per-file, train_unet.py:85-87).
+                enc = enc[:, None, :]
+            want = self.unet.config.cross_attention_dim
+            if enc.ndim != 3 or enc.shape[-1] != want:
+                raise ValueError(
+                    f"encoding must be (batch, seq, {want}) [or (batch, {want})], "
+                    f"got shape {tuple(enc.shape)} — the last axis must equal the "
+                    f"UNet's cross_attention_dim ({want}).")
+            if enc.shape[0] != batch_size:
+                raise ValueError(
+                    f"encoding batch axis ({enc.shape[0]}) must equal "
+                    f"batch_size ({batch_size}).")
         images = fn(self.unet_params, images, input_images, noise, enc, step_key)
 
         if self.is_latent:

@@ -184,6 +184,32 @@ def test_conditional_pipeline():
     assert not np.array_equal(a, b)
 
 
+def test_encoding_shape_guards():
+    """Serving-side encoding validation: 2-D (B, dim) — the AudioEncoder's
+    pooled output — promotes to a length-1 sequence exactly like the training
+    batcher (data/dataset.py); wrong dim / wrong batch / unconditional UNet
+    raise actionable errors instead of an opaque attention reshape failure
+    (reference requires the caller to know the 3-D contract, pipeline:107)."""
+    unet, params = tiny_unet(cross_attention_dim=12)
+    pipe = AudioDiffusionPipeline(unet, params, tiny_mel(), DDIMScheduler())
+
+    enc3 = jnp.ones((1, 1, 12))
+    a = pipe(batch_size=1, steps=3, key=jax.random.key(0), encoding=enc3, return_images_only=True)
+    b = pipe(batch_size=1, steps=3, key=jax.random.key(0), encoding=jnp.ones((1, 12)),
+             return_images_only=True)
+    np.testing.assert_array_equal(a, b)  # 2-D promotes to the same (1, 1, 12)
+
+    with pytest.raises(ValueError, match="cross_attention_dim"):
+        pipe(batch_size=1, steps=3, encoding=jnp.ones((1, 7)))
+    with pytest.raises(ValueError, match="batch axis"):
+        pipe(batch_size=2, steps=3, encoding=jnp.ones((1, 1, 12)))
+
+    uncond, uparams = tiny_unet()
+    upipe = AudioDiffusionPipeline(uncond, uparams, tiny_mel(), DDIMScheduler())
+    with pytest.raises(ValueError, match="unconditional"):
+        upipe(batch_size=1, steps=3, encoding=jnp.ones((1, 1, 12)))
+
+
 def test_user_supplied_noise_nchw_compat(ddim_pipe):
     noise_nhwc = np.asarray(jax.random.normal(jax.random.key(2), (1, RES, RES, 1)))
     noise_nchw = np.transpose(noise_nhwc, (0, 3, 1, 2))
