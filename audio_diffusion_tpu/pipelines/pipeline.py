@@ -274,10 +274,12 @@ class AudioDiffusionPipeline:
                     f"encoding must be (batch, seq, {want}) [or (batch, {want})], "
                     f"got shape {tuple(enc.shape)} — the last axis must equal the "
                     f"UNet's cross_attention_dim ({want}).")
-            if enc.shape[0] != batch_size:
+            # The effective batch is the noise's leading axis (user-supplied
+            # noise= overrides batch_size, e.g. the encode()->slerp workflow).
+            if enc.shape[0] != images.shape[0]:
                 raise ValueError(
-                    f"encoding batch axis ({enc.shape[0]}) must equal "
-                    f"batch_size ({batch_size}).")
+                    f"encoding batch axis ({enc.shape[0]}) must equal the "
+                    f"generation batch ({images.shape[0]}).")
         images = fn(self.unet_params, images, input_images, noise, enc, step_key)
 
         if self.is_latent:

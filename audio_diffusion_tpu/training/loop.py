@@ -165,25 +165,41 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
     if restored is not None:
         state = restored
         logger.info("resumed from step %d", int(state.step))
+
+    # A restored checkpoint may already satisfy max_steps (e.g. a retried
+    # preempted job re-running its exact command): train zero further steps
+    # instead of one extra, which would advance past the recorded stream and
+    # overwrite the finished checkpoint. Checked HERE, right after restore —
+    # the VAE mesh placement, dataset latent pre-encode, and writer open
+    # below are wasted minutes for a no-op run.
+    if run.max_steps and int(state.step) >= run.max_steps:
+        logger.info("restored step %d already >= max_steps %d; nothing to train",
+                    int(state.step), run.max_steps)
+        return {"steps": int(state.step), "loss": float("nan"),
+                "seconds": 0.0, "output_dir": run.output_dir}
+
     state = shard_train_state(state, mesh, train)
 
     vqvae_host_params = None
     if vqvae_params is not None:
-        # Host copy first: on a pod, rank-0's eval generation runs LOCAL
-        # programs, and params committed to the global cross-host mesh must
-        # not leak into them (non-addressable devices -> placement error or a
-        # multihost launch the other ranks never enter). Single-process runs
-        # eval straight off the mesh-committed tree, so don't pin a second
-        # full VAE tree in host RAM for the whole run there.
-        host_tree = jax.device_get(vqvae_params)
         if jax.process_count() > 1:
-            vqvae_host_params = host_tree
+            # Host copy first: on a pod, rank-0's eval generation runs LOCAL
+            # programs, and params committed to the global cross-host mesh
+            # must not leak into them (non-addressable devices -> placement
+            # error or a multihost launch the other ranks never enter).
+            src = vqvae_host_params = jax.device_get(vqvae_params)
+        else:
+            # Single-process: device_put reshards the tree from_pretrained
+            # already committed (or the --vae path's numpy tree) directly —
+            # a device_get here would drag the full VAE back through the
+            # ~42 MB/s D2H tunnel (CLAUDE.md) for nothing.
+            src = vqvae_params
         # Replicate on the mesh BEFORE the step closes over it: jit inlines
         # closed-over numpy trees into the HLO as constants (remote-compile
         # HTTP 413 risk for big VAEs, CLAUDE.md) but captures device arrays
         # as runtime buffers.
-        vqvae_params = jax.device_put(host_tree, replicated(mesh))
-        del host_tree
+        vqvae_params = jax.device_put(src, replicated(mesh))
+        del src
 
     precomputed = None
     if vqvae is not None and run.cache_latents:
@@ -238,16 +254,6 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
     # deadlocks (observed live on the 2-process CPU harness). The prefetch
     # thread still overlaps decode + normalization.
     threaded_place = jax.process_count() == 1
-
-    # A restored checkpoint may already satisfy max_steps (e.g. a retried
-    # preempted job re-running its exact command): train zero further steps
-    # instead of one extra, which would advance past the recorded stream and
-    # overwrite the finished checkpoint.
-    if run.max_steps and global_step >= run.max_steps:
-        logger.info("restored step %d already >= max_steps %d; nothing to train",
-                    global_step, run.max_steps)
-        return {"steps": global_step, "loss": float("nan"),
-                "seconds": time.time() - t_start, "output_dir": run.output_dir}
 
     for epoch in range(start_epoch, run.num_epochs):
         for batch in prefetch(
@@ -330,7 +336,12 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
                 enc_eval = np.stack([vals[i] for i in pick])[:, None, :]
             # steps=None -> scheduler default (50 DDIM / num_train_steps DDPM),
             # matching the reference's eval (train_unet.py:313-330).
-            out = eval_pipe(batch_size=run.eval_batch_size, key=jax.random.key(42),
+            # Conditional eval: the batch is however many distinct encodings
+            # exist (pick is capped at len(encodings) above) — passing the
+            # raw eval_batch_size would mismatch the encoding batch when the
+            # encodings file has fewer entries.
+            eval_bs = len(enc_eval) if enc_eval is not None else run.eval_batch_size
+            out = eval_pipe(batch_size=eval_bs, key=jax.random.key(42),
                             encoding=enc_eval)
             writer.add_images("test_samples", out.raw_images[:, None, :, :], epoch)
             from ..ops.audio_io import normalize

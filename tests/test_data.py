@@ -440,6 +440,59 @@ def test_latent_training_loop(dataset_dir, tmp_path):
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4)
 
 
+def test_conditional_training_eval_with_few_encodings(dataset_dir, tmp_path):
+    """Conditional training's sample epoch must work when the encodings file
+    has FEWER distinct entries than eval_batch_size: the eval pick is capped
+    at len(encodings), so the pipeline call must use that capped batch
+    (round-3 review finding — the raw eval_batch_size mismatched the
+    encoding batch and killed the run at the first sampling epoch)."""
+    pytest.importorskip("tensorboardX")
+    import jax
+
+    from audio_diffusion_tpu.data.dataset import ImageSliceDataset
+    from audio_diffusion_tpu.mel import Mel
+    from audio_diffusion_tpu.models import UNet2D, UNetConfig
+    from audio_diffusion_tpu.pipelines import AudioDiffusionPipeline
+    from audio_diffusion_tpu.schedulers import DDIMScheduler, SchedulerConfig
+    from audio_diffusion_tpu.training.loop import RunConfig, run_training
+    from audio_diffusion_tpu.training.train_unet import TrainConfig
+
+    ds = ImageSliceDataset(dataset_dir)
+    files = {ds.get(i)["audio_file"] for i in range(len(ds))}
+    enc = {f: np.full((12,), i, np.float32) for i, f in enumerate(sorted(files))}
+    enc_path = str(tmp_path / "enc.p")
+    with open(enc_path, "wb") as fh:
+        pickle.dump(enc, fh)
+    assert len(files) < 4  # the premise: fewer encodings than eval_batch_size
+
+    # Tiny conditional seed pipeline (the default conditional arch is the
+    # full reference model — far too heavy for a CPU test).
+    cfg = UNetConfig(sample_size=(RES, RES), block_out_channels=(8, 16),
+                     down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+                     up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+                     layers_per_block=1, norm_num_groups=4,
+                     attention_head_dim=4, cross_attention_dim=12)
+    unet = UNet2D(cfg)
+    seed_dir = str(tmp_path / "seed")
+    AudioDiffusionPipeline(
+        unet, unet.init_params(jax.random.key(0)),
+        Mel(x_res=RES, y_res=RES, hop_length=HOP, n_iter=2),
+        DDIMScheduler(SchedulerConfig(num_train_timesteps=100)),
+    ).save_pretrained(seed_dir)
+
+    out = str(tmp_path / "model")
+    run = RunConfig(
+        dataset=dataset_dir, output_dir=out, num_epochs=2, train_batch_size=1,
+        eval_batch_size=4, save_images_epochs=1, save_model_epochs=1000,
+        scheduler="ddim", num_train_steps=100, hop_length=HOP, max_steps=2,
+        log_every=1, encodings=enc_path, from_pretrained=seed_dir,
+    )
+    result = run_training(run, TrainConfig(lr_warmup_steps=2, use_ema=False))
+    assert result["steps"] == 2 and np.isfinite(result["loss"])
+    logs = os.path.join(out, "logs")
+    assert os.path.isdir(logs) and any(os.scandir(logs))
+
+
 def test_from_pretrained_bf16_overrides_unet_not_vae(dataset_dir, tmp_path):
     """--mixed_precision bf16 with --from_pretrained switches the UNet's
     COMPUTE dtype to bf16 but leaves the VAE at its saved precision: latent

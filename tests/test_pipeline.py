@@ -204,6 +204,16 @@ def test_encoding_shape_guards():
     with pytest.raises(ValueError, match="batch axis"):
         pipe(batch_size=2, steps=3, encoding=jnp.ones((1, 1, 12)))
 
+    # User-supplied noise sets the EFFECTIVE batch (the encode()->slerp
+    # workflow leaves batch_size at its default 1): the check must compare
+    # against the noise batch, not the batch_size argument.
+    noise4 = jax.random.normal(jax.random.key(3), (4, RES, RES, 1))
+    out4 = pipe(steps=3, noise=noise4, encoding=jnp.ones((4, 1, 12)),
+                return_images_only=True)
+    assert out4.shape[0] == 4
+    with pytest.raises(ValueError, match="batch"):
+        pipe(steps=3, noise=noise4, encoding=jnp.ones((2, 1, 12)))
+
     uncond, uparams = tiny_unet()
     upipe = AudioDiffusionPipeline(uncond, uparams, tiny_mel(), DDIMScheduler())
     with pytest.raises(ValueError, match="unconditional"):
