@@ -442,9 +442,13 @@ class AudioDiffusionPipeline:
 
     @classmethod
     def from_pretrained(cls, directory: str, dtype: Optional[str] = None) -> "AudioDiffusionPipeline":
-        """Load a pipeline saved by :meth:`save_pretrained`. Directories written
-        by the reference (torch diffusers format) load via
-        ``utils.torch_import.pipeline_from_torch_pretrained``.
+        """Load a pipeline saved by :meth:`save_pretrained`, or by the
+        reference (torch diffusers format — converted via
+        ``utils.torch_import.pipeline_from_torch_pretrained``). ``directory``
+        may also be a Hub model id like ``teticio/audio-diffusion-256``
+        (reference: audiodiffusion/__init__.py:24-30 "local directory or
+        Hugging Face Hub"): ids resolve through the local HF cache first, then
+        the network (``utils.hub.resolve_pretrained``).
 
         ``dtype`` ("float32" | "bfloat16") overrides the COMPUTE dtype of the
         UNet and VAE for serving — parameters stay in their stored precision
@@ -452,13 +456,9 @@ class AudioDiffusionPipeline:
         f32-trained pipeline with ``dtype="bfloat16"`` recovers the bf16
         throughput (measured: the f32 VAE decode is ~2x the bf16 one,
         BASELINE.md latent ledger) at bf16-rounding output differences."""
-        if not os.path.isdir(directory):
-            raise FileNotFoundError(
-                f"{directory!r} is not a local directory. This framework loads local "
-                "checkpoints only (no Hub downloading in this environment); for a "
-                "published model like 'teticio/audio-diffusion-256', download the "
-                "repository first and pass its path."
-            )
+        from ..utils.hub import resolve_pretrained
+
+        directory = resolve_pretrained(directory)
         with open(os.path.join(directory, "model_index.json")) as fh:
             index = json.load(fh)
 

@@ -82,9 +82,27 @@ class RunConfig:
     seed: int = 0
     log_every: int = 10
     max_steps: Optional[int] = None  # early stop (smoke tests)
+    # Hub publishing (reference flags: train_unet.py:385-388). The repo is
+    # created at startup (fail-fast) and the saved pipeline is uploaded on
+    # every save_model_epochs, like the reference's Repository.push_to_hub.
+    push_to_hub: bool = False
+    hub_model_id: Optional[str] = None
+    hub_token: Optional[str] = None
+    hub_private_repo: bool = False
 
 
 def run_training(run: RunConfig, train: TrainConfig) -> dict:
+    hub_repo = None
+    if run.push_to_hub and is_main_process():
+        # Create the repo BEFORE any expensive work so a bad token / no
+        # network fails in seconds (reference: train_unet.py:192-197 clones
+        # the repo before the training loop for the same reason).
+        from ..utils.hub import ensure_repo
+
+        hub_repo = ensure_repo(run.hub_model_id, run.output_dir,
+                               token=run.hub_token, private=run.hub_private_repo)
+        logger.info("will push saved pipelines to hub repo %s", hub_repo)
+
     dataset = ImageSliceDataset(run.dataset)
     resolution = dataset.resolution  # (H, W) from the data (reference: train_unet.py:70-71)
 
@@ -110,12 +128,24 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
         from ..models.vae import AutoencoderKL, VAEConfig
         from flax import serialization
 
-        vae_dir = run.vae if os.path.exists(os.path.join(run.vae, "config.json")) else os.path.join(run.vae, "vqvae")
-        vae_cfg = VAEConfig.from_pretrained(vae_dir)
-        vqvae = AutoencoderKL(vae_cfg)
-        template = vqvae.init_params(jax.random.key(0), sample_hw=resolution)
-        with open(os.path.join(vae_dir, "params.msgpack"), "rb") as fh:
-            vqvae_params = serialization.from_bytes(template, fh.read())
+        from ..utils.hub import resolve_pretrained
+
+        # --vae accepts a Hub id too (reference: train_unet.py:99 hands it to
+        # AutoencoderKL.from_pretrained, which resolves ids).
+        vae_root = resolve_pretrained(run.vae)
+        vae_dir = vae_root if os.path.exists(os.path.join(vae_root, "config.json")) else os.path.join(vae_root, "vqvae")
+        if os.path.exists(os.path.join(vae_dir, "params.msgpack")):
+            vae_cfg = VAEConfig.from_pretrained(vae_dir)
+            vqvae = AutoencoderKL(vae_cfg)
+            template = vqvae.init_params(jax.random.key(0), sample_hw=resolution)
+            with open(os.path.join(vae_dir, "params.msgpack"), "rb") as fh:
+                vqvae_params = serialization.from_bytes(template, fh.read())
+        else:
+            # Torch diffusers AutoencoderKL dir (reference: train_unet.py:99).
+            from ..utils.torch_import import vae_from_torch_dir
+
+            vqvae, vqvae_params = vae_from_torch_dir(vae_dir)
+            vae_cfg = vqvae.config
         sample_hw = vae_cfg.latent_hw(*resolution)
         channels = vae_cfg.latent_channels
     else:
@@ -327,6 +357,11 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
         if should_save and is_main_process():
             eval_pipe.save_pretrained(run.output_dir)
             save_train_state(manager, global_step, host_state)
+            if hub_repo is not None:
+                from ..utils.hub import push_folder
+
+                push_folder(run.output_dir, hub_repo, token=run.hub_token,
+                            message=f"Epoch {epoch}")  # reference: train_unet.py:306-311
 
         if eval_pipe and writer and should_sample:
             enc_eval = None

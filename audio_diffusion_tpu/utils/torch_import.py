@@ -478,6 +478,26 @@ def _check_structure(template, converted):
     )
 
 
+def vae_from_torch_dir(vae_dir: str, dtype: str | None = None):
+    """Load a standalone torch diffusers ``AutoencoderKL`` directory (the
+    reference hands such dirs/ids straight to ``AutoencoderKL.from_pretrained``
+    for latent training, train_unet.py:99). Returns ``(vqvae, params)``."""
+    import dataclasses
+
+    import jax
+
+    from ..models.vae import AutoencoderKL
+
+    with open(os.path.join(vae_dir, "config.json")) as fh:
+        vae_cfg = vae_config_from_diffusers(json.load(fh))
+    if dtype is not None:
+        vae_cfg = dataclasses.replace(vae_cfg, dtype=dtype)
+    vqvae = AutoencoderKL(vae_cfg)
+    template = vqvae.init_params(jax.random.key(0))
+    params = _check_structure(template, convert_vae(load_torch_state_dict(vae_dir), vae_cfg))
+    return vqvae, params
+
+
 def pipeline_from_torch_pretrained(directory: str, dtype: str | None = None):
     """Load a torch diffusers AudioDiffusionPipeline directory (the published
     HF checkpoints) into this framework's pipeline.

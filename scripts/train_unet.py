@@ -71,6 +71,11 @@ def parse_args(argv=None):
     p.add_argument("--mesh_data", type=int, default=None, help="devices on the data axis (default: all)")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    # Hub publishing (reference flags: train_unet.py:385-388).
+    p.add_argument("--push_to_hub", type=str2bool, default=False)
+    p.add_argument("--hub_model_id", type=str, default=None)
+    p.add_argument("--hub_token", type=str, default=None)
+    p.add_argument("--hub_private_repo", type=str2bool, default=False)
     return p.parse_args(argv)
 
 
@@ -91,6 +96,8 @@ def main(argv=None):
         cache_latents=a.cache_latents,
         mixed_precision=a.mixed_precision, mesh_data=a.mesh_data,
         seed=a.seed, max_steps=a.max_steps,
+        push_to_hub=a.push_to_hub, hub_model_id=a.hub_model_id,
+        hub_token=a.hub_token, hub_private_repo=a.hub_private_repo,
     )
     train = TrainConfig(
         learning_rate=a.learning_rate, lr_schedule=a.lr_scheduler, lr_warmup_steps=a.lr_warmup_steps,
