@@ -15,8 +15,9 @@ import numpy as np
 from .audio_diffusion import AudioDiffusion
 from .ops.audio_io import normalize
 
-# The published model ids (Hugging Face Hub). This framework loads local
-# directories only — download each repository first or substitute local paths.
+# The published model ids (Hugging Face Hub). Ids resolve through the local HF
+# cache first, then the network (utils/hub.py) — in a zero-egress environment,
+# download each repository elsewhere or substitute local paths.
 MODELS = [
     "teticio/audio-diffusion-256",
     "teticio/audio-diffusion-breaks-256",

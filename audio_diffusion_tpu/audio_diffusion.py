@@ -23,8 +23,10 @@ class AudioDiffusion:
     def __init__(self, model_id: str = "teticio/audio-diffusion-256", progress_bar=None):
         """Args:
             model_id: local directory (this framework's or a torch diffusers
-                checkpoint directory to import). Unlike the reference there is
-                no device flag — JAX places computation on the TPU automatically.
+                checkpoint directory to import), or a Hub model id like
+                ``teticio/audio-diffusion-256`` (resolved cache-first,
+                utils/hub.py). Unlike the reference there is no device flag —
+                JAX places computation on the TPU automatically.
         """
         self.model_id = model_id
         self.pipe = AudioDiffusionPipeline.from_pretrained(model_id)

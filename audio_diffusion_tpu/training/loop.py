@@ -93,15 +93,34 @@ class RunConfig:
 
 def run_training(run: RunConfig, train: TrainConfig) -> dict:
     hub_repo = None
-    if run.push_to_hub and is_main_process():
+    if run.push_to_hub:
         # Create the repo BEFORE any expensive work so a bad token / no
         # network fails in seconds (reference: train_unet.py:192-197 clones
-        # the repo before the training loop for the same reason).
+        # the repo before the training loop for the same reason). Only rank 0
+        # talks to the Hub, but on a pod the OUTCOME must reach every process
+        # through a collective — otherwise a bad token kills rank 0 while the
+        # other ranks proceed and hang at the first cross-host collective
+        # (same reasoning as the should_sample gate below).
         from ..utils.hub import ensure_repo
 
-        hub_repo = ensure_repo(run.hub_model_id, run.output_dir,
-                               token=run.hub_token, private=run.hub_private_repo)
-        logger.info("will push saved pipelines to hub repo %s", hub_repo)
+        hub_err = None
+        if is_main_process():
+            try:
+                hub_repo = ensure_repo(run.hub_model_id, run.output_dir,
+                                       token=run.hub_token, private=run.hub_private_repo)
+                logger.info("will push saved pipelines to hub repo %s", hub_repo)
+            except Exception as e:  # re-raised below, after the broadcast
+                hub_err = e
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            ok = multihost_utils.broadcast_one_to_all(np.int32(0 if hub_err is not None else 1))
+            if not int(ok) and hub_err is None:
+                raise RuntimeError(
+                    "push_to_hub repo creation failed on process 0 — aborting this process too"
+                )
+        if hub_err is not None:
+            raise hub_err
 
     dataset = ImageSliceDataset(run.dataset)
     resolution = dataset.resolution  # (H, W) from the data (reference: train_unet.py:70-71)
@@ -134,18 +153,31 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
         # AutoencoderKL.from_pretrained, which resolves ids).
         vae_root = resolve_pretrained(run.vae)
         vae_dir = vae_root if os.path.exists(os.path.join(vae_root, "config.json")) else os.path.join(vae_root, "vqvae")
+        has_torch_weights = any(
+            os.path.exists(os.path.join(vae_dir, f))
+            for f in ("diffusion_pytorch_model.safetensors", "diffusion_pytorch_model.bin")
+        )
         if os.path.exists(os.path.join(vae_dir, "params.msgpack")):
             vae_cfg = VAEConfig.from_pretrained(vae_dir)
             vqvae = AutoencoderKL(vae_cfg)
             template = vqvae.init_params(jax.random.key(0), sample_hw=resolution)
             with open(os.path.join(vae_dir, "params.msgpack"), "rb") as fh:
                 vqvae_params = serialization.from_bytes(template, fh.read())
-        else:
+        elif has_torch_weights:
             # Torch diffusers AutoencoderKL dir (reference: train_unet.py:99).
             from ..utils.torch_import import vae_from_torch_dir
 
             vqvae, vqvae_params = vae_from_torch_dir(vae_dir)
             vae_cfg = vqvae.config
+        else:
+            # Don't misroute e.g. an interrupted native save (config.json
+            # written, params.msgpack missing) into the torch importer.
+            raise FileNotFoundError(
+                f"--vae directory {vae_dir} has neither params.msgpack (this "
+                "framework's save) nor diffusion_pytorch_model.{safetensors,bin} "
+                "(torch diffusers). If a native save was interrupted, re-save or "
+                "re-train the VAE."
+            )
         sample_hw = vae_cfg.latent_hw(*resolution)
         channels = vae_cfg.latent_channels
     else:
@@ -360,8 +392,15 @@ def run_training(run: RunConfig, train: TrainConfig) -> dict:
             if hub_repo is not None:
                 from ..utils.hub import push_folder
 
-                push_folder(run.output_dir, hub_repo, token=run.hub_token,
-                            message=f"Epoch {epoch}")  # reference: train_unet.py:306-311
+                try:
+                    push_folder(run.output_dir, hub_repo, token=run.hub_token,
+                                message=f"Epoch {epoch}")  # reference: train_unet.py:306-311
+                except Exception as e:
+                    # The local save already succeeded — a transient Hub/network
+                    # error must not kill a long training run. The next save
+                    # epoch retries with the full folder state.
+                    logger.warning("hub push to %s failed at epoch %d: %s — "
+                                   "continuing (local save is intact)", hub_repo, epoch, e)
 
         if eval_pipe and writer and should_sample:
             enc_eval = None

@@ -534,14 +534,6 @@ def pipeline_from_torch_pretrained(directory: str, dtype: str | None = None):
     vqvae = vqvae_params = None
     vae_dir = os.path.join(directory, "vqvae")
     if os.path.isdir(vae_dir):
-        from ..models.vae import AutoencoderKL
-
-        with open(os.path.join(vae_dir, "config.json")) as fh:
-            vae_cfg = vae_config_from_diffusers(json.load(fh))
-        if dtype is not None:
-            vae_cfg = dataclasses.replace(vae_cfg, dtype=dtype)
-        vqvae = AutoencoderKL(vae_cfg)
-        vae_template = vqvae.init_params(jax.random.key(0))
-        vqvae_params = _check_structure(vae_template, convert_vae(load_torch_state_dict(vae_dir), vae_cfg))
+        vqvae, vqvae_params = vae_from_torch_dir(vae_dir, dtype)
 
     return AudioDiffusionPipeline(unet, unet_params, mel, scheduler, vqvae, vqvae_params)

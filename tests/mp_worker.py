@@ -30,6 +30,7 @@ def main() -> None:
     port = sys.argv[2]
     work = sys.argv[3]
     max_steps = int(sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "train"
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from audio_diffusion_tpu.parallel.mesh import init_distributed
@@ -68,6 +69,25 @@ def main() -> None:
         log_every=1,
         max_steps=max_steps,
     )
+
+    if mode == "push_fail":
+        # push_to_hub in a zero-egress environment: rank 0's real create_repo
+        # fails (ConnectionError), and the outcome-broadcast must abort BOTH
+        # ranks instead of leaving rank 1 to hang at the first cross-host
+        # collective. Both workers write the error and exit 0.
+        import dataclasses
+
+        run = dataclasses.replace(run, push_to_hub=True, hub_model_id="user/m",
+                                  hub_token="tok")
+        try:
+            run_training(run, TrainConfig(lr_warmup_steps=2, param_sharding="fsdp"))
+            raise AssertionError("push_to_hub with no egress should have raised")
+        except RuntimeError as e:
+            with open(os.path.join(work, f"result_{process_id}.json"), "w") as fh:
+                json.dump({"push_error": str(e)}, fh)
+            print(f"[worker {process_id}] push fail-fast ok: {e}", flush=True)
+        return
+
     result = run_training(run, TrainConfig(lr_warmup_steps=2, use_ema=True, param_sharding="fsdp"))
     print(f"[worker {process_id}] training done: {result['steps']} steps", flush=True)
 

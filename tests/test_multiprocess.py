@@ -68,7 +68,7 @@ def _build_workdir(tmp_path) -> str:
     return work
 
 
-def _launch(work: str, port: int, max_steps: int, timeout: int = 1500):
+def _launch(work: str, port: int, max_steps: int, timeout: int = 1500, mode: str = "train"):
     # generous timeout: under full-suite + concurrent-TPU-job host load the
     # workers run several times slower than standalone (observed 600 s miss)
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "mp_worker.py")
@@ -77,7 +77,7 @@ def _launch(work: str, port: int, max_steps: int, timeout: int = 1500):
     logs = [open(os.path.join(work, f"worker_{pid}_{port}.log"), "w") for pid in (0, 1)]
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), str(port), work, str(max_steps)],
+            [sys.executable, worker, str(pid), str(port), work, str(max_steps), mode],
             stdout=log, stderr=subprocess.STDOUT, text=True, env=env,
         )
         for pid, log in zip((0, 1), logs)
@@ -149,3 +149,15 @@ def test_two_process_fsdp_training_with_resume_and_parity(tmp_path):
     result = run_training(run, TrainConfig(lr_warmup_steps=2, use_ema=True, param_sharding="fsdp"))
     assert result["steps"] == 8
     np.testing.assert_allclose(result["loss"], results2[0]["loss"], rtol=1e-4)
+
+
+def test_two_process_push_to_hub_fails_fast_on_all_ranks(tmp_path):
+    """push_to_hub with no egress must abort BOTH processes at startup (the
+    rank-0 Hub failure reaches rank 1 through the outcome broadcast) — not
+    kill rank 0 and leave rank 1 hanging at the first cross-host collective."""
+    work = _build_workdir(tmp_path)
+    _launch(work, _free_port(), max_steps=2, timeout=420, mode="push_fail")
+    results = {pid: json.load(open(os.path.join(work, f"result_{pid}.json"))) for pid in (0, 1)}
+    assert "could not be created" in results[0]["push_error"]  # the real Hub error
+    assert "aborting this process too" in results[1]["push_error"]  # the broadcast abort
+    assert not os.path.exists(os.path.join(work, "model", "checkpoints")), "no training should have run"
