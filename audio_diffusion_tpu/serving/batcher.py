@@ -1,0 +1,227 @@
+"""Dynamic request batching over the single-scan pipeline.
+
+TPU-first design:
+
+* **Static batch tiers.** Every jitted program is shape-specialized; letting
+  request count dictate batch shape would compile a new denoise scan per
+  concurrency level (minutes each through a remote-compile link). Requests
+  instead pad up to a fixed tier (1, 2, 4, ... ``max_batch``), so the device
+  only ever sees ``len(tiers)`` shapes — all compiled once, ideally at
+  startup via :meth:`DynamicBatcher.warmup`.
+* **Per-request determinism.** Each request's initial noise is derived from
+  ITS seed on the host (``np.random.Generator(PCG64(seed))``), never from a
+  batch-level key, so a request's spectrogram is bit-identical whether it
+  runs solo or padded into any tier (the denoise scan, VAE decode, and uint8
+  postprocess are all elementwise along the batch axis). Griffin-Lim audio is
+  phase-initialized from a batch-shaped key (ops/griffin_lim.py:86), so audio
+  matches across batch compositions at GL-convergence level, not bitwise —
+  same property as the reference, where librosa re-randomizes phase per call
+  (reference mel.py:165-168 ``librosa.feature.inverse.mel_to_audio``).
+* **One worker owns the device.** Requests enqueue; a single thread drains
+  compatible requests (same steps/eta/conditioning shape — they share one
+  compiled program), runs ONE pipeline call, and fans results back out to
+  futures. HTTP handler threads never touch JAX.
+
+The reference has no analog — its apps call the pipeline with
+``batch_size=1`` per user interaction (app.py:26-43).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+@dataclass
+class GenerationResult:
+    """One request's outputs, already on host."""
+
+    image: np.ndarray  # (H, W) or (H, W, C) uint8 mel spectrogram
+    audio: np.ndarray  # float32 waveform, or int16 when the batcher runs pcm16
+    sample_rate: int
+
+
+@dataclass
+class _Pending:
+    seed: int
+    encoding: Optional[np.ndarray]  # (seq, dim) or None
+    future: Future
+    enqueued: float
+
+
+def _noise_for_seed(seed: int, h: int, w: int, c: int) -> np.ndarray:
+    """Deterministic per-request initial noise, independent of batch shape."""
+    return np.random.default_rng(seed).standard_normal((h, w, c)).astype(np.float32)
+
+
+class DynamicBatcher:
+    """Groups concurrent generation requests into padded fixed-tier batches.
+
+    Args:
+        pipe: an ``AudioDiffusionPipeline`` (or compatible callable object).
+        max_batch: largest batch tier; tiers are the powers of two up to it.
+        max_wait_ms: how long the worker holds the FIRST request of a batch
+            open for companions. Latency floor for a lone request; at load the
+            wait never triggers because tiers fill instantly.
+        steps / eta: generation settings shared by all requests unless a
+            request overrides them (overriding ``steps`` selects a different
+            compiled program — distinct settings batch separately, never
+            together).
+        pcm16: quantize audio to int16 on device (halves D2H payload —
+            pipelines/pipeline.py pcm16 path).
+    """
+
+    def __init__(
+        self,
+        pipe,
+        max_batch: int = 8,
+        max_wait_ms: float = 25.0,
+        steps: Optional[int] = None,
+        eta: float = 0.0,
+        pcm16: bool = False,
+    ):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self.pipe = pipe
+        self.tiers = tuple(2**i for i in range(max_batch.bit_length()) if 2**i <= max_batch)
+        if self.tiers[-1] != max_batch:
+            self.tiers = self.tiers + (max_batch,)
+        self.max_wait_s = max_wait_ms / 1000.0
+        self.default_steps = steps
+        self.default_eta = eta
+        self.pcm16 = pcm16
+        self._groups: dict = {}  # settings key -> deque[_Pending]
+        self._cond = threading.Condition()
+        self._closed = False
+        self.batches_run = 0  # observability: pipeline calls made
+        self._worker = threading.Thread(target=self._run, name="adt-batcher", daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------- public API
+
+    def submit(
+        self,
+        seed: int = 0,
+        steps: Optional[int] = None,
+        eta: Optional[float] = None,
+        encoding: Optional[np.ndarray] = None,
+    ) -> Future:
+        """Enqueue one generation; returns a Future of :class:`GenerationResult`."""
+        steps = steps if steps is not None else self.default_steps
+        eta = eta if eta is not None else self.default_eta
+        if encoding is not None:
+            encoding = np.asarray(encoding, dtype=np.float32)
+            if encoding.ndim != 2:
+                raise ValueError(
+                    f"encoding must be (seq, cross_attention_dim), got shape {encoding.shape}"
+                )
+        key = (steps, float(eta), None if encoding is None else encoding.shape)
+        fut: Future = Future()
+        with self._cond:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._groups.setdefault(key, deque()).append(
+                _Pending(int(seed), encoding, fut, time.monotonic())
+            )
+            self._cond.notify()
+        return fut
+
+    def warmup(self, conditional_shape: Optional[tuple] = None) -> None:
+        """Compile every tier up front (first TPU compiles take minutes; a
+        production server must not pay them on live traffic)."""
+        h, w = self.pipe.sample_hw
+        c = self.pipe.unet.config.in_channels
+        for tier in self.tiers:
+            noise = np.zeros((tier, h, w, c), np.float32)
+            enc = None
+            if conditional_shape is not None:
+                enc = np.zeros((tier,) + tuple(conditional_shape), np.float32)
+            self.pipe(
+                noise=noise, encoding=enc, steps=self.default_steps,
+                eta=self.default_eta, return_arrays=True, pcm16=self.pcm16,
+            )
+
+    def close(self) -> None:
+        """Stop the worker after draining already-queued requests."""
+        with self._cond:
+            self._closed = True
+            self._cond.notify_all()
+        self._worker.join()
+
+    # ---------------------------------------------------------------- worker
+
+    def _tier_for(self, n: int) -> int:
+        for t in self.tiers:
+            if t >= n:
+                return t
+        return self.tiers[-1]
+
+    def _run(self) -> None:
+        while True:
+            with self._cond:
+                while not self._closed and not any(self._groups.values()):
+                    self._cond.wait()
+                if not any(self._groups.values()):
+                    return  # closed and drained
+                # Serve the group whose head request has waited longest.
+                key = min(
+                    (k for k, dq in self._groups.items() if dq),
+                    key=lambda k: self._groups[k][0].enqueued,
+                )
+                dq = self._groups[key]
+                deadline = dq[0].enqueued + self.max_wait_s
+                while (
+                    not self._closed
+                    and len(dq) < self.tiers[-1]
+                    and (remaining := deadline - time.monotonic()) > 0
+                ):
+                    self._cond.wait(timeout=remaining)
+                take = min(len(dq), self.tiers[-1])
+                batch = [dq.popleft() for _ in range(take)]
+            try:
+                self._run_batch(key, batch)
+            except Exception as e:  # propagate to every caller, keep serving
+                for p in batch:
+                    if not p.future.done():
+                        p.future.set_exception(e)
+
+    def _run_batch(self, key: tuple, batch: list) -> None:
+        steps, eta, enc_shape = key
+        h, w = self.pipe.sample_hw
+        c = self.pipe.unet.config.in_channels
+        tier = self._tier_for(len(batch))
+
+        noise = np.zeros((tier, h, w, c), np.float32)
+        for i, p in enumerate(batch):
+            noise[i] = _noise_for_seed(p.seed, h, w, c)
+        encoding = None
+        if enc_shape is not None:
+            encoding = np.zeros((tier,) + enc_shape, np.float32)
+            for i, p in enumerate(batch):
+                encoding[i] = p.encoding
+
+        import jax
+
+        raw_dev, audios_dev = self.pipe(
+            noise=noise,
+            encoding=encoding,
+            steps=steps,
+            eta=eta,
+            # eta>0 step noise is keyed per BATCH (reproducible for a fixed
+            # batch composition, like the reference's step_generator).
+            step_key=jax.random.key(batch[0].seed),
+            return_arrays=True,
+            pcm16=self.pcm16,
+        )
+        raw = np.asarray(raw_dev)
+        audios = np.asarray(audios_dev)
+        self.batches_run += 1
+        sr = self.pipe.mel.get_sample_rate()
+        for i, p in enumerate(batch):
+            p.future.set_result(GenerationResult(raw[i], audios[i], sr))

@@ -1,0 +1,166 @@
+"""Minimal HTTP serving front-end over :class:`~.batcher.DynamicBatcher`.
+
+Stdlib-only (``http.server``): no web-framework dependency, matching the
+repo's zero-extra-deps serving story. Handler threads only parse JSON and
+block on a future — all device work happens on the batcher's single worker
+thread, so any number of concurrent connections share full-tier batches.
+
+API (content negotiated by the request's ``format`` field):
+
+* ``GET  /healthz``  → ``{"status": "ok", "sample_rate": ..., "tiers": [...]}``
+* ``POST /generate`` → body ``{"seed": int, "steps": int?, "eta": float?,
+  "encoding": [[...]]?, "format": "wav" | "json"}``.
+  ``wav`` (default) responds ``audio/wav`` bytes; ``json`` responds the uint8
+  spectrogram (nested lists) plus base64 16-bit PCM.
+
+The reference's closest surface is its Gradio/Streamlit apps
+(/root/reference/app.py, streamlit_app.py) — single-user, batch_size=1.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from .batcher import DynamicBatcher
+
+logger = logging.getLogger("audio_diffusion_tpu.serving")
+
+
+def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
+    from ..apps import wav_bytes
+
+    if audio.dtype == np.int16:  # already PCM (batcher pcm16 path)
+        audio = audio.astype(np.float32) / 32767.0
+    return wav_bytes(audio, sample_rate)
+
+
+class AudioDiffusionServer:
+    """Owns a batcher + a ``ThreadingHTTPServer``; start/stop lifecycle."""
+
+    def __init__(
+        self,
+        pipe,
+        host: str = "127.0.0.1",
+        port: int = 8080,
+        max_batch: int = 8,
+        max_wait_ms: float = 25.0,
+        steps: Optional[int] = None,
+        eta: float = 0.0,
+        request_timeout_s: float = 600.0,
+    ):
+        self.batcher = DynamicBatcher(
+            pipe, max_batch=max_batch, max_wait_ms=max_wait_ms, steps=steps,
+            eta=eta, pcm16=True,
+        )
+        self.sample_rate = pipe.mel.get_sample_rate()
+        self.request_timeout_s = request_timeout_s
+        handler = _make_handler(self)
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.httpd.daemon_threads = True
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def address(self) -> tuple:
+        return self.httpd.server_address
+
+    def start(self) -> None:
+        """Serve on a background thread (returns immediately; tests/embedding)."""
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, name="adt-http", daemon=True
+        )
+        self._thread.start()
+        logger.info("serving on http://%s:%d", *self.address[:2])
+
+    def serve_forever(self) -> None:
+        logger.info("serving on http://%s:%d", *self.address[:2])
+        self.httpd.serve_forever()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join()
+        self.batcher.close()
+
+
+def _make_handler(server: AudioDiffusionServer):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route to logging, not stderr
+            logger.debug("%s " + fmt, self.client_address[0], *args)
+
+        def _respond(self, code: int, body: bytes, content_type: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _respond_json(self, code: int, obj) -> None:
+            self._respond(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._respond_json(200, {
+                    "status": "ok",
+                    "sample_rate": server.sample_rate,
+                    "tiers": list(server.batcher.tiers),
+                    "batches_run": server.batcher.batches_run,
+                })
+            else:
+                self._respond_json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._respond_json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                encoding = req.get("encoding")
+                if encoding is not None:
+                    encoding = np.asarray(encoding, dtype=np.float32)
+                fut = server.batcher.submit(
+                    seed=int(req.get("seed", 0)),
+                    steps=req.get("steps"),
+                    eta=req.get("eta"),
+                    encoding=encoding,
+                )
+            except (ValueError, TypeError, json.JSONDecodeError) as e:
+                self._respond_json(400, {"error": str(e)})
+                return
+            try:
+                result = fut.result(timeout=server.request_timeout_s)
+            except Exception as e:
+                self._respond_json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            if req.get("format", "wav") == "json":
+                self._respond_json(200, {
+                    "sample_rate": result.sample_rate,
+                    "image": result.image.tolist(),
+                    "pcm16_base64": base64.b64encode(
+                        np.ascontiguousarray(result.audio, dtype=np.int16).tobytes()
+                    ).decode(),
+                })
+            else:
+                self._respond(
+                    200, _wav_bytes(result.audio, result.sample_rate), "audio/wav"
+                )
+
+    return Handler
+
+
+def make_server(model_dir: str, dtype: Optional[str] = None, **kw) -> AudioDiffusionServer:
+    """Load a pipeline (local dir, torch diffusers dir, or Hub id) and wrap it."""
+    from ..pipelines.pipeline import AudioDiffusionPipeline
+
+    pipe = AudioDiffusionPipeline.from_pretrained(model_dir, dtype=dtype)
+    return AudioDiffusionServer(pipe, **kw)

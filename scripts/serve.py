@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Serve a trained pipeline over HTTP with dynamic request batching.
+
+    PYTHONPATH=. python scripts/serve.py --model models/latent-audio-diffusion-256 \
+        --port 8080 --max_batch 32 --dtype bfloat16
+
+Then:  curl -d '{"seed": 7}' localhost:8080/generate -o out.wav
+
+The reference serves one request at a time through Gradio/Streamlit
+(/root/reference/app.py, streamlit_app.py); this front-end shares full
+batch tiers across concurrent users (serving/batcher.py) — measured ~12x
+throughput at the batch-32 knee (BASELINE.md).
+"""
+
+import argparse
+import logging
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", type=str, required=True,
+                   help="pipeline dir (ours or torch diffusers) or Hub model id")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max_batch", type=int, default=8,
+                   help="largest batch tier (BASELINE.md: throughput knee at 32)")
+    p.add_argument("--max_wait_ms", type=float, default=25.0,
+                   help="how long a lone request waits for batch companions")
+    p.add_argument("--steps", type=int, default=None,
+                   help="denoise steps (default: scheduler's own default)")
+    p.add_argument("--eta", type=float, default=0.0)
+    p.add_argument("--dtype", type=str, default=None, choices=["float32", "bfloat16"],
+                   help="serving compute-dtype override (bfloat16: +20%% measured)")
+    p.add_argument("--warmup", action=argparse.BooleanOptionalAction, default=True,
+                   help="compile every batch tier before accepting traffic")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    a = parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+
+    from audio_diffusion_tpu.serving import make_server
+
+    server = make_server(
+        a.model, dtype=a.dtype, host=a.host, port=a.port, max_batch=a.max_batch,
+        max_wait_ms=a.max_wait_ms, steps=a.steps, eta=a.eta,
+    )
+    if a.warmup:
+        logging.info("warming up %s batch tiers (first TPU compiles take minutes)...",
+                     server.batcher.tiers)
+        server.batcher.warmup()
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

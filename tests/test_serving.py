@@ -1,0 +1,200 @@
+"""Serving gates: dynamic batching semantics + the HTTP front-end.
+
+Pinned properties:
+- a request's spectrogram is BIT-identical solo vs padded into a batch
+  (per-seed host-derived noise; the whole image path is batch-elementwise);
+- concurrent requests actually share one pipeline call (tier batching);
+- incompatible settings (different steps) never share a compiled program;
+- errors propagate to the affected futures and the worker keeps serving.
+
+The reference's serving surface is single-request Gradio/Streamlit
+(/root/reference/app.py:26-43); the batching layer is this framework's own.
+"""
+
+import http.client
+import io
+import json
+import threading
+import wave
+
+import jax
+import numpy as np
+import pytest
+
+from audio_diffusion_tpu.mel import Mel
+from audio_diffusion_tpu.models import UNet2D, UNetConfig
+from audio_diffusion_tpu.pipelines import AudioDiffusionPipeline
+from audio_diffusion_tpu.schedulers import DDIMScheduler, SchedulerConfig
+from audio_diffusion_tpu.serving import AudioDiffusionServer, DynamicBatcher
+from audio_diffusion_tpu.serving.batcher import _noise_for_seed
+
+RES = 16
+HOP = 512
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = UNetConfig(sample_size=(RES, RES), block_out_channels=(8, 16),
+                     down_block_types=("DownBlock2D", "DownBlock2D"),
+                     up_block_types=("UpBlock2D", "UpBlock2D"),
+                     layers_per_block=1, norm_num_groups=4)
+    unet = UNet2D(cfg)
+    return AudioDiffusionPipeline(
+        unet, unet.init_params(jax.random.key(0)),
+        Mel(x_res=RES, y_res=RES, hop_length=HOP),
+        DDIMScheduler(SchedulerConfig(num_train_timesteps=100)),
+    )
+
+
+class CountingPipe:
+    """Delegates to the real pipeline, recording every call's batch size."""
+
+    def __init__(self, pipe):
+        self._pipe = pipe
+        self.call_batches = []
+        self.lock = threading.Lock()
+
+    def __getattr__(self, name):
+        return getattr(self._pipe, name)
+
+    def __call__(self, **kw):
+        with self.lock:
+            self.call_batches.append(len(kw["noise"]))
+        return self._pipe(**kw)
+
+
+def test_solo_equals_batched_bitwise(pipe):
+    """Same seed -> bit-identical spectrogram whether run alone or padded
+    into a tier with other requests (the per-request-noise contract)."""
+    solo_raw, _ = pipe(noise=_noise_for_seed(7, RES, RES, 1)[None], steps=3,
+                       return_arrays=True)
+    solo = np.asarray(solo_raw)[0]
+
+    batcher = DynamicBatcher(pipe, max_batch=4, max_wait_ms=200, steps=3)
+    try:
+        futs = [batcher.submit(seed=s) for s in (3, 7, 11)]  # pads to tier 4
+        results = [f.result(timeout=120) for f in futs]
+    finally:
+        batcher.close()
+    np.testing.assert_array_equal(results[1].image, solo)
+    assert results[0].image.dtype == np.uint8
+    assert not np.array_equal(results[0].image, results[1].image), "seeds must differ"
+    assert results[0].sample_rate == 22050
+    assert np.isfinite(results[0].audio).all() and len(results[0].audio) == (RES - 1) * HOP  # librosa mel_to_audio length
+
+
+def test_concurrent_requests_share_one_batch(pipe):
+    counting = CountingPipe(pipe)
+    batcher = DynamicBatcher(counting, max_batch=4, max_wait_ms=300, steps=2)
+    try:
+        batcher.submit(seed=0).result(timeout=120)  # also compiles tier 1
+        futs = [batcher.submit(seed=s) for s in range(4)]
+        for f in futs:
+            f.result(timeout=120)
+    finally:
+        batcher.close()
+    # 1 solo call + ONE tier-4 call for the 4 concurrent requests (they all
+    # land within the 300 ms window while the worker holds the batch open).
+    assert counting.call_batches[0] == 1
+    assert counting.call_batches[1:] == [4], counting.call_batches
+
+
+def test_incompatible_settings_do_not_mix(pipe):
+    counting = CountingPipe(pipe)
+    batcher = DynamicBatcher(counting, max_batch=4, max_wait_ms=150, steps=2)
+    try:
+        f1 = batcher.submit(seed=0)            # steps=2 group
+        f2 = batcher.submit(seed=0, steps=3)   # separate compiled program
+        r1, r2 = f1.result(timeout=120), f2.result(timeout=120)
+    finally:
+        batcher.close()
+    assert len(counting.call_batches) == 2, "different steps must not share a batch"
+    assert not np.array_equal(r1.image, r2.image)
+
+
+def test_submit_validates_encoding_shape(pipe):
+    batcher = DynamicBatcher(pipe, max_batch=2, steps=2)
+    try:
+        with pytest.raises(ValueError, match="seq, cross_attention_dim"):
+            batcher.submit(encoding=np.zeros((5,), np.float32))
+    finally:
+        batcher.close()
+
+
+def test_batch_failure_propagates_and_worker_survives(pipe):
+    batcher = DynamicBatcher(pipe, max_batch=2, max_wait_ms=10, steps=2)
+    try:
+        # Unconditional UNet + encoding -> the pipeline raises; the future
+        # must carry the error and the NEXT request must still be served.
+        bad = batcher.submit(seed=0, encoding=np.zeros((1, 8), np.float32))
+        with pytest.raises(Exception):
+            bad.result(timeout=120)
+        ok = batcher.submit(seed=1).result(timeout=120)
+        assert ok.image.shape[:2] == (RES, RES)
+    finally:
+        batcher.close()
+
+
+def test_http_server_end_to_end(pipe):
+    server = AudioDiffusionServer(pipe, port=0, max_batch=4, max_wait_ms=100, steps=2)
+    server.start()
+    host, port = server.address[:2]
+    try:
+        def post(body):
+            conn = http.client.HTTPConnection(host, port, timeout=300)
+            conn.request("POST", "/generate", json.dumps(body),
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            data = resp.read()
+            conn.close()
+            return resp, data
+
+        # Concurrent WAV requests (batched server-side).
+        results = {}
+
+        def worker(seed):
+            results[seed] = post({"seed": seed})
+
+        threads = [threading.Thread(target=worker, args=(s,)) for s in (1, 2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for seed, (resp, data) in results.items():
+            assert resp.status == 200 and resp.getheader("Content-Type") == "audio/wav"
+            with wave.open(io.BytesIO(data)) as wav:
+                assert wav.getframerate() == 22050
+                assert wav.getnframes() == (RES - 1) * HOP
+        assert results[1][1] != results[2][1], "different seeds -> different audio"
+
+        # JSON format: spectrogram + base64 PCM.
+        resp, data = post({"seed": 1, "format": "json"})
+        payload = json.loads(data)
+        img = np.asarray(payload["image"], dtype=np.uint8)
+        assert img.shape[:2] == (RES, RES)
+        import base64
+        pcm = np.frombuffer(base64.b64decode(payload["pcm16_base64"]), dtype=np.int16)
+        assert len(pcm) == (RES - 1) * HOP
+
+        # Health endpoint reports batching observability.
+        conn = http.client.HTTPConnection(host, port, timeout=60)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        conn.close()
+        assert health["status"] == "ok" and health["batches_run"] >= 1
+
+        # Malformed request -> 400, not a crash.
+        resp, data = post({"encoding": "not-an-array"})
+        assert resp.status == 400
+    finally:
+        server.stop()
+
+
+def test_serve_cli_parser():
+    import sys
+    sys.path.insert(0, "scripts")
+    import serve
+
+    a = serve.parse_args(["--model", "m", "--max_batch", "32", "--dtype", "bfloat16",
+                          "--no-warmup"])
+    assert a.max_batch == 32 and a.dtype == "bfloat16" and a.warmup is False
