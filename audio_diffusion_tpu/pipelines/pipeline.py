@@ -219,6 +219,13 @@ class AudioDiffusionPipeline:
             noise = jnp.asarray(noise, dtype=jnp.float32)
             if noise.shape[-1] != in_ch and noise.shape[1] == in_ch:
                 noise = jnp.transpose(noise, (0, 2, 3, 1))  # accept NCHW for compat
+            if self.mesh is not None:
+                # Commit user-supplied noise to the batch sharding so the whole
+                # program partitions along 'data' (uncommitted inputs would make
+                # XLA pick a layout instead of the serving-optimal one).
+                from ..parallel.mesh import batch_sharding
+
+                noise = jax.device_put(noise, batch_sharding(self.mesh, noise.ndim))
         images = noise
 
         has_input = audio_file is not None or raw_audio is not None

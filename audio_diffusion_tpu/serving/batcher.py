@@ -89,7 +89,17 @@ class DynamicBatcher:
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         self.pipe = pipe
-        self.tiers = tuple(2**i for i in range(max_batch.bit_length()) if 2**i <= max_batch)
+        # Sharded pipelines (pipe.shard(mesh)) split the batch along 'data', so
+        # every tier must be a multiple of the data-axis size.
+        mesh = getattr(pipe, "mesh", None)
+        base = dict(mesh.shape).get("data", 1) if mesh is not None else 1
+        if max_batch % base != 0:
+            raise ValueError(
+                f"max_batch ({max_batch}) must be a multiple of the mesh's "
+                f"data-axis size ({base}) — sharded batches split along 'data'."
+            )
+        self.tiers = tuple(base * 2**i for i in range((max_batch // base).bit_length())
+                           if base * 2**i <= max_batch)
         if self.tiers[-1] != max_batch:
             self.tiers = self.tiers + (max_batch,)
         self.max_wait_s = max_wait_ms / 1000.0

@@ -158,9 +158,25 @@ def _make_handler(server: AudioDiffusionServer):
     return Handler
 
 
-def make_server(model_dir: str, dtype: Optional[str] = None, **kw) -> AudioDiffusionServer:
-    """Load a pipeline (local dir, torch diffusers dir, or Hub id) and wrap it."""
+def make_server(
+    model_dir: str,
+    dtype: Optional[str] = None,
+    mesh_data: Optional[int] = None,
+    **kw,
+) -> AudioDiffusionServer:
+    """Load a pipeline (local dir, torch diffusers dir, or Hub id) and wrap it.
+
+    ``mesh_data`` shards serving over that many devices (``pipe.shard``):
+    params replicate, every batch splits along the mesh's 'data' axis — the
+    zero-collective inference sharding (BASELINE.md multi-chip section), so
+    throughput scales ~linearly with chips. Batch tiers become multiples of
+    ``mesh_data``.
+    """
     from ..pipelines.pipeline import AudioDiffusionPipeline
 
     pipe = AudioDiffusionPipeline.from_pretrained(model_dir, dtype=dtype)
+    if mesh_data is not None:
+        from ..parallel.mesh import make_mesh
+
+        pipe.shard(make_mesh(num_data=mesh_data))
     return AudioDiffusionServer(pipe, **kw)

@@ -32,6 +32,9 @@ def parse_args(argv=None):
     p.add_argument("--eta", type=float, default=0.0)
     p.add_argument("--dtype", type=str, default=None, choices=["float32", "bfloat16"],
                    help="serving compute-dtype override (bfloat16: +20%% measured)")
+    p.add_argument("--mesh_data", type=int, default=None,
+                   help="shard serving over N devices (batch splits along 'data'; "
+                        "tiers become multiples of N)")
     p.add_argument("--warmup", action=argparse.BooleanOptionalAction, default=True,
                    help="compile every batch tier before accepting traffic")
     return p.parse_args(argv)
@@ -44,8 +47,8 @@ def main(argv=None):
     from audio_diffusion_tpu.serving import make_server
 
     server = make_server(
-        a.model, dtype=a.dtype, host=a.host, port=a.port, max_batch=a.max_batch,
-        max_wait_ms=a.max_wait_ms, steps=a.steps, eta=a.eta,
+        a.model, dtype=a.dtype, mesh_data=a.mesh_data, host=a.host, port=a.port,
+        max_batch=a.max_batch, max_wait_ms=a.max_wait_ms, steps=a.steps, eta=a.eta,
     )
     if a.warmup:
         logging.info("warming up %s batch tiers (first TPU compiles take minutes)...",

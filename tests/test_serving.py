@@ -190,6 +190,37 @@ def test_http_server_end_to_end(pipe):
         server.stop()
 
 
+def test_sharded_batcher_over_mesh(pipe):
+    """Serving over a device mesh: tiers become multiples of the data-axis
+    size, requests shard SPMD, and results stay bit-identical to the
+    unsharded solo run (the per-request-noise contract survives sharding)."""
+    from audio_diffusion_tpu.parallel.mesh import make_mesh
+
+    solo_raw, _ = pipe(noise=_noise_for_seed(7, RES, RES, 1)[None], steps=3,
+                       return_arrays=True)
+    solo = np.asarray(solo_raw)[0]
+
+    cfg = pipe.unet.config
+    unet = UNet2D(cfg)
+    sharded_pipe = AudioDiffusionPipeline(
+        unet, unet.init_params(jax.random.key(0)),
+        Mel(x_res=RES, y_res=RES, hop_length=HOP),
+        DDIMScheduler(SchedulerConfig(num_train_timesteps=100)),
+    ).shard(make_mesh(num_data=8))
+
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        DynamicBatcher(sharded_pipe, max_batch=4)
+
+    batcher = DynamicBatcher(sharded_pipe, max_batch=16, max_wait_ms=200, steps=3)
+    assert batcher.tiers == (8, 16)
+    try:
+        futs = [batcher.submit(seed=s) for s in (3, 7, 11)]  # pads to tier 8
+        results = [f.result(timeout=120) for f in futs]
+    finally:
+        batcher.close()
+    np.testing.assert_array_equal(results[1].image, solo)
+
+
 def test_serve_cli_parser():
     import sys
     sys.path.insert(0, "scripts")
