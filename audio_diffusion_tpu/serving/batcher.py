@@ -10,13 +10,19 @@ TPU-first design:
   startup via :meth:`DynamicBatcher.warmup`.
 * **Per-request determinism.** Each request's initial noise is derived from
   ITS seed on the host (``np.random.Generator(PCG64(seed))``), never from a
-  batch-level key, so a request's spectrogram is bit-identical whether it
-  runs solo or padded into any tier (the denoise scan, VAE decode, and uint8
-  postprocess are all elementwise along the batch axis). Griffin-Lim audio is
-  phase-initialized from a batch-shaped key (ops/griffin_lim.py:86), so audio
-  matches across batch compositions at GL-convergence level, not bitwise —
-  same property as the reference, where librosa re-randomizes phase per call
-  (reference mel.py:165-168 ``librosa.feature.inverse.mel_to_audio``).
+  batch-level key. Under DETERMINISTIC sampling (DDIM with eta=0 — the
+  serving default and the reference's recommended inference mode) a request's
+  spectrogram is therefore bit-identical whether it runs solo or padded into
+  any tier (the denoise scan, VAE decode, and uint8 postprocess are all
+  elementwise along the batch axis). Stochastic sampling (DDPM, or eta>0)
+  draws per-STEP noise from a batch-shaped key inside the scan
+  (schedulers/ddpm.py step), so those results are reproducible only for a
+  fixed batch composition — same caveat as the reference, whose
+  ``step_generator`` is shared across the batch (pipeline:104-111).
+  Griffin-Lim audio is phase-initialized from a batch-shaped key
+  (ops/griffin_lim.py:86), so audio matches across batch compositions at
+  GL-convergence level, not bitwise — same property as the reference, where
+  librosa re-randomizes phase per call (reference mel.py:165-168).
 * **One worker owns the device.** Requests enqueue; a single thread drains
   compatible requests (same steps/eta/conditioning shape — they share one
   compiled program), runs ONE pipeline call, and fans results back out to
@@ -85,6 +91,9 @@ class DynamicBatcher:
         steps: Optional[int] = None,
         eta: float = 0.0,
         pcm16: bool = False,
+        allowed_steps: Optional[Sequence[int]] = None,
+        allowed_etas: Optional[Sequence[float]] = None,
+        conditional_seq: int = 1,
     ):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
@@ -103,8 +112,17 @@ class DynamicBatcher:
         if self.tiers[-1] != max_batch:
             self.tiers = self.tiers + (max_batch,)
         self.max_wait_s = max_wait_ms / 1000.0
-        self.default_steps = steps
-        self.default_eta = eta
+        # Resolve the default concretely so {"steps": 50} and steps omitted land
+        # in the SAME batch group when 50 is the scheduler default.
+        self.default_steps = steps if steps is not None else pipe.get_default_steps()
+        self.default_eta = float(eta)
+        # Every distinct (steps, eta, encoding-seq) compiles a new denoise scan
+        # ON THE WORKER THREAD — minutes through a remote-compile link, head-of-
+        # line-blocking all traffic. Only pre-declared (warmable) settings are
+        # accepted; everything else fails at submit() with the fix spelled out.
+        self.allowed_steps = {self.default_steps} | {int(s) for s in (allowed_steps or ())}
+        self.allowed_etas = {self.default_eta} | {float(e) for e in (allowed_etas or ())}
+        self.conditional_seq = conditional_seq
         self.pcm16 = pcm16
         self._groups: dict = {}  # settings key -> deque[_Pending]
         self._cond = threading.Condition()
@@ -122,16 +140,48 @@ class DynamicBatcher:
         eta: Optional[float] = None,
         encoding: Optional[np.ndarray] = None,
     ) -> Future:
-        """Enqueue one generation; returns a Future of :class:`GenerationResult`."""
-        steps = steps if steps is not None else self.default_steps
-        eta = eta if eta is not None else self.default_eta
+        """Enqueue one generation; returns a Future of :class:`GenerationResult`.
+
+        Validation happens HERE, per request — a bad request must fail alone,
+        never poison the futures of innocents co-batched with it."""
+        seed = int(seed)
+        if not 0 <= seed < 2**63:
+            raise ValueError(f"seed must be in [0, 2**63), got {seed}")
+        steps = int(steps) if steps is not None else self.default_steps
+        if steps not in self.allowed_steps:
+            raise ValueError(
+                f"steps={steps} is not served (allowed: {sorted(self.allowed_steps)}). "
+                "Novel step counts compile a new device program on the serving "
+                "thread, stalling all traffic — declare them via allowed_steps "
+                "(CLI: --allow_steps) so they are compiled at warmup."
+            )
+        eta = float(eta) if eta is not None else self.default_eta
+        if eta not in self.allowed_etas:
+            raise ValueError(
+                f"eta={eta} is not served (allowed: {sorted(self.allowed_etas)}); "
+                "declare it via allowed_etas (CLI: --allow_etas)."
+            )
+        cross_dim = self.pipe.unet.config.cross_attention_dim
         if encoding is not None:
+            if cross_dim is None:
+                raise ValueError("this model is unconditional — drop encoding=")
             encoding = np.asarray(encoding, dtype=np.float32)
-            if encoding.ndim != 2:
+            if encoding.ndim == 1:
+                encoding = encoding[None, :]  # (dim,) -> length-1 sequence
+            if encoding.ndim != 2 or encoding.shape[-1] != cross_dim:
                 raise ValueError(
-                    f"encoding must be (seq, cross_attention_dim), got shape {encoding.shape}"
+                    f"encoding must be (seq, cross_attention_dim={cross_dim}), "
+                    f"got shape {encoding.shape}"
                 )
-        key = (steps, float(eta), None if encoding is None else encoding.shape)
+            if encoding.shape[0] != self.conditional_seq:
+                raise ValueError(
+                    f"encoding seq length {encoding.shape[0]} is not served "
+                    f"(this server compiles seq={self.conditional_seq}; "
+                    "configure conditional_seq to serve longer sequences)."
+                )
+        elif cross_dim is not None:
+            raise ValueError("this model is conditional — an encoding= is required")
+        key = (steps, eta, None if encoding is None else encoding.shape)
         fut: Future = Future()
         with self._cond:
             if self._closed:
@@ -142,20 +192,25 @@ class DynamicBatcher:
             self._cond.notify()
         return fut
 
-    def warmup(self, conditional_shape: Optional[tuple] = None) -> None:
-        """Compile every tier up front (first TPU compiles take minutes; a
-        production server must not pay them on live traffic)."""
+    def warmup(self) -> None:
+        """Compile every (tier, steps, eta) the server will accept, up front
+        (first TPU compiles take minutes; a production server must not pay
+        them on live traffic). Conditional models warm the cross-attention
+        program at the served sequence length."""
         h, w = self.pipe.sample_hw
         c = self.pipe.unet.config.in_channels
+        cross_dim = self.pipe.unet.config.cross_attention_dim
         for tier in self.tiers:
             noise = np.zeros((tier, h, w, c), np.float32)
             enc = None
-            if conditional_shape is not None:
-                enc = np.zeros((tier,) + tuple(conditional_shape), np.float32)
-            self.pipe(
-                noise=noise, encoding=enc, steps=self.default_steps,
-                eta=self.default_eta, return_arrays=True, pcm16=self.pcm16,
-            )
+            if cross_dim is not None:
+                enc = np.zeros((tier, self.conditional_seq, cross_dim), np.float32)
+            for steps in sorted(self.allowed_steps):
+                for eta in sorted(self.allowed_etas):
+                    self.pipe(
+                        noise=noise, encoding=enc, steps=steps, eta=eta,
+                        return_arrays=True, pcm16=self.pcm16,
+                    )
 
     def close(self) -> None:
         """Stop the worker after draining already-queued requests."""
@@ -194,6 +249,14 @@ class DynamicBatcher:
                     self._cond.wait(timeout=remaining)
                 take = min(len(dq), self.tiers[-1])
                 batch = [dq.popleft() for _ in range(take)]
+                if not dq:
+                    del self._groups[key]  # don't leak a deque per settings key
+            # Mark running (and drop requests cancelled while queued) BEFORE
+            # the device call: a set_result on a cancelled future would raise
+            # InvalidStateError mid-fan-out and corrupt co-batched results.
+            batch = [p for p in batch if p.future.set_running_or_notify_cancel()]
+            if not batch:
+                continue
             try:
                 self._run_batch(key, batch)
             except Exception as e:  # propagate to every caller, keep serving

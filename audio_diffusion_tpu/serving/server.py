@@ -34,10 +34,23 @@ logger = logging.getLogger("audio_diffusion_tpu.serving")
 
 
 def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
+    if audio.dtype == np.int16:
+        # Already device-quantized PCM (batcher pcm16 path): write the frames
+        # straight into the container — re-normalizing through float would
+        # both waste host work and make the wav path differ by LSBs from the
+        # json path's pcm16_base64 for the same generation.
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as fh:
+            fh.setnchannels(1)
+            fh.setsampwidth(2)
+            fh.setframerate(sample_rate)
+            fh.writeframes(np.ascontiguousarray(audio).tobytes())
+        return buf.getvalue()
     from ..apps import wav_bytes
 
-    if audio.dtype == np.int16:  # already PCM (batcher pcm16 path)
-        audio = audio.astype(np.float32) / 32767.0
     return wav_bytes(audio, sample_rate)
 
 
@@ -53,11 +66,15 @@ class AudioDiffusionServer:
         max_wait_ms: float = 25.0,
         steps: Optional[int] = None,
         eta: float = 0.0,
+        allowed_steps=None,
+        allowed_etas=None,
+        conditional_seq: int = 1,
         request_timeout_s: float = 600.0,
     ):
         self.batcher = DynamicBatcher(
             pipe, max_batch=max_batch, max_wait_ms=max_wait_ms, steps=steps,
-            eta=eta, pcm16=True,
+            eta=eta, pcm16=True, allowed_steps=allowed_steps,
+            allowed_etas=allowed_etas, conditional_seq=conditional_seq,
         )
         self.sample_rate = pipe.mel.get_sample_rate()
         self.request_timeout_s = request_timeout_s

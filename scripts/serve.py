@@ -30,6 +30,12 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=None,
                    help="denoise steps (default: scheduler's own default)")
     p.add_argument("--eta", type=float, default=0.0)
+    p.add_argument("--allow_steps", type=int, nargs="*", default=None,
+                   help="additional per-request step counts to serve (each is "
+                        "compiled at warmup; undeclared values are rejected with "
+                        "400 rather than compiling on live traffic)")
+    p.add_argument("--allow_etas", type=float, nargs="*", default=None,
+                   help="additional per-request eta values to serve")
     p.add_argument("--dtype", type=str, default=None, choices=["float32", "bfloat16"],
                    help="serving compute-dtype override (bfloat16: +20%% measured)")
     p.add_argument("--mesh_data", type=int, default=None,
@@ -49,6 +55,7 @@ def main(argv=None):
     server = make_server(
         a.model, dtype=a.dtype, mesh_data=a.mesh_data, host=a.host, port=a.port,
         max_batch=a.max_batch, max_wait_ms=a.max_wait_ms, steps=a.steps, eta=a.eta,
+        allowed_steps=a.allow_steps, allowed_etas=a.allow_etas,
     )
     if a.warmup:
         logging.info("warming up %s batch tiers (first TPU compiles take minutes)...",

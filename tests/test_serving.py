@@ -101,7 +101,8 @@ def test_concurrent_requests_share_one_batch(pipe):
 
 def test_incompatible_settings_do_not_mix(pipe):
     counting = CountingPipe(pipe)
-    batcher = DynamicBatcher(counting, max_batch=4, max_wait_ms=150, steps=2)
+    batcher = DynamicBatcher(counting, max_batch=4, max_wait_ms=150, steps=2,
+                             allowed_steps=(3,))
     try:
         f1 = batcher.submit(seed=0)            # steps=2 group
         f2 = batcher.submit(seed=0, steps=3)   # separate compiled program
@@ -112,24 +113,99 @@ def test_incompatible_settings_do_not_mix(pipe):
     assert not np.array_equal(r1.image, r2.image)
 
 
-def test_submit_validates_encoding_shape(pipe):
+def test_explicit_default_steps_shares_the_group(pipe):
+    """{"steps": <the default>} and steps omitted are the same compiled
+    program and must share one batch."""
+    counting = CountingPipe(pipe)
+    batcher = DynamicBatcher(counting, max_batch=4, max_wait_ms=300, steps=2)
+    try:
+        f1 = batcher.submit(seed=0)
+        f2 = batcher.submit(seed=1, steps=2)
+        f1.result(timeout=120), f2.result(timeout=120)
+    finally:
+        batcher.close()
+    assert counting.call_batches == [2], counting.call_batches
+
+
+def test_undeclared_settings_rejected_at_submit(pipe):
+    """Novel steps/eta would compile on the serving thread (head-of-line DoS)
+    — they fail the ONE request, at submit, with the fix named."""
     batcher = DynamicBatcher(pipe, max_batch=2, steps=2)
     try:
-        with pytest.raises(ValueError, match="seq, cross_attention_dim"):
-            batcher.submit(encoding=np.zeros((5,), np.float32))
+        with pytest.raises(ValueError, match="allow_steps"):
+            batcher.submit(steps=41)
+        with pytest.raises(ValueError, match="allowed_etas"):
+            batcher.submit(eta=0.7)
+        with pytest.raises(ValueError, match="seed"):
+            batcher.submit(seed=-1)
+        with pytest.raises(ValueError, match="unconditional"):
+            batcher.submit(encoding=np.zeros((1, 8), np.float32))
+        # The worker is untouched by rejected submits.
+        ok = batcher.submit(seed=1).result(timeout=120)
+        assert ok.image.shape[:2] == (RES, RES)
     finally:
         batcher.close()
 
 
-def test_batch_failure_propagates_and_worker_survives(pipe):
-    batcher = DynamicBatcher(pipe, max_batch=2, max_wait_ms=10, steps=2)
+def test_cancelled_future_does_not_poison_the_batch(pipe):
+    batcher = DynamicBatcher(pipe, max_batch=4, max_wait_ms=1000, steps=2)
     try:
-        # Unconditional UNet + encoding -> the pipeline raises; the future
-        # must carry the error and the NEXT request must still be served.
-        bad = batcher.submit(seed=0, encoding=np.zeros((1, 8), np.float32))
-        with pytest.raises(Exception):
+        f1 = batcher.submit(seed=0)
+        f2 = batcher.submit(seed=1)
+        assert f1.cancel()  # cancelled while queued (inside the 1 s window)
+        r2 = f2.result(timeout=120)  # co-batched request must still resolve
+        assert r2.image.shape[:2] == (RES, RES)
+        assert f1.cancelled()
+    finally:
+        batcher.close()
+
+
+def test_submit_validates_encoding_shape(pipe):
+    cfg = UNetConfig(sample_size=(RES, RES), block_out_channels=(8, 16),
+                     down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+                     up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+                     layers_per_block=1, norm_num_groups=4,
+                     attention_head_dim=4, cross_attention_dim=8)
+    unet = UNet2D(cfg)
+    cond_pipe = AudioDiffusionPipeline(
+        unet, unet.init_params(jax.random.key(0)),
+        Mel(x_res=RES, y_res=RES, hop_length=HOP),
+        DDIMScheduler(SchedulerConfig(num_train_timesteps=100)),
+    )
+    batcher = DynamicBatcher(cond_pipe, max_batch=2, max_wait_ms=10, steps=2)
+    try:
+        with pytest.raises(ValueError, match="cross_attention_dim=8"):
+            batcher.submit(encoding=np.zeros((1, 5), np.float32))  # wrong dim
+        with pytest.raises(ValueError, match="seq length"):
+            batcher.submit(encoding=np.zeros((3, 8), np.float32))  # unserved seq
+        with pytest.raises(ValueError, match="encoding= is required"):
+            batcher.submit(seed=0)  # conditional model, no encoding
+        # (dim,) promotes to the served length-1 sequence and generates.
+        r = batcher.submit(seed=0, encoding=np.ones((8,), np.float32)).result(timeout=120)
+        assert r.image.shape[:2] == (RES, RES)
+    finally:
+        batcher.close()
+
+
+class FlakyPipe(CountingPipe):
+    """Raises on the first pipeline call, then recovers."""
+
+    def __call__(self, **kw):
+        with self.lock:
+            self.call_batches.append(len(kw["noise"]))
+            first = len(self.call_batches) == 1
+        if first:
+            raise RuntimeError("injected device failure")
+        return self._pipe(**kw)
+
+
+def test_batch_failure_propagates_and_worker_survives(pipe):
+    batcher = DynamicBatcher(FlakyPipe(pipe), max_batch=2, max_wait_ms=10, steps=2)
+    try:
+        bad = batcher.submit(seed=0)
+        with pytest.raises(RuntimeError, match="injected device failure"):
             bad.result(timeout=120)
-        ok = batcher.submit(seed=1).result(timeout=120)
+        ok = batcher.submit(seed=1).result(timeout=120)  # worker kept serving
         assert ok.image.shape[:2] == (RES, RES)
     finally:
         batcher.close()
