@@ -128,6 +128,8 @@ class DynamicBatcher:
         self._cond = threading.Condition()
         self._closed = False
         self.batches_run = 0  # observability: pipeline calls made
+        self.requests_served = 0
+        self.stats = deque(maxlen=256)  # per-batch {n, queue_s, run_s}
         self._worker = threading.Thread(target=self._run, name="adt-batcher", daemon=True)
         self._worker.start()
 
@@ -281,6 +283,7 @@ class DynamicBatcher:
 
         import jax
 
+        t_run = time.monotonic()
         raw_dev, audios_dev = self.pipe(
             noise=noise,
             encoding=encoding,
@@ -294,7 +297,28 @@ class DynamicBatcher:
         )
         raw = np.asarray(raw_dev)
         audios = np.asarray(audios_dev)
+        now = time.monotonic()
         self.batches_run += 1
+        self.requests_served += len(batch)
+        self.stats.append({
+            "n": len(batch),
+            "queue_s": round(now - min(p.enqueued for p in batch), 4),
+            "run_s": round(now - t_run, 4),
+        })
         sr = self.pipe.mel.get_sample_rate()
         for i, p in enumerate(batch):
             p.future.set_result(GenerationResult(raw[i], audios[i], sr))
+
+    def latency_summary(self) -> dict:
+        """p50/p95 request latency + mean occupancy over recent batches."""
+        stats = list(self.stats)
+        if not stats:
+            return {}
+        qs = sorted(s["queue_s"] for s in stats)
+        return {
+            "recent_batches": len(stats),
+            "mean_batch": round(sum(s["n"] for s in stats) / len(stats), 2),
+            "p50_latency_s": qs[len(qs) // 2],
+            "p95_latency_s": qs[min(len(qs) - 1, int(len(qs) * 0.95))],
+            "mean_run_s": round(sum(s["run_s"] for s in stats) / len(stats), 4),
+        }

@@ -131,6 +131,8 @@ def _make_handler(server: AudioDiffusionServer):
                     "sample_rate": server.sample_rate,
                     "tiers": list(server.batcher.tiers),
                     "batches_run": server.batcher.batches_run,
+                    "requests_served": server.batcher.requests_served,
+                    **server.batcher.latency_summary(),
                 })
             else:
                 self._respond_json(404, {"error": f"unknown path {self.path}"})

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Measure sustained serving throughput: N concurrent clients through the
+dynamic batcher vs the same pipeline driven directly at the same batch size.
+
+    PYTHONPATH=. python scripts/bench_serving.py --model <pipeline-dir> \
+        --clients 64 --max_batch 32 --seconds 20 --dtype bfloat16
+
+Reports samples/sec through the batcher (HTTP parsing excluded — this
+isolates the batching layer's overhead: queueing, padding, host noise
+generation, result fan-out) and the direct-pipeline rate as the ceiling.
+The reference has no serving path to compare against (its apps are
+batch_size=1 per user interaction, /root/reference/app.py:26-43).
+"""
+
+import argparse
+import json
+import threading
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", type=str, required=True)
+    p.add_argument("--clients", type=int, default=64,
+                   help="concurrent closed-loop clients (each waits for its "
+                        "result, then immediately submits the next request)")
+    p.add_argument("--max_batch", type=int, default=32)
+    p.add_argument("--max_wait_ms", type=float, default=25.0)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--seconds", type=float, default=20.0, help="measurement window")
+    p.add_argument("--dtype", type=str, default=None, choices=["float32", "bfloat16"])
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    a = parse_args(argv)
+
+    from audio_diffusion_tpu.pipelines.pipeline import AudioDiffusionPipeline
+    from audio_diffusion_tpu.serving import DynamicBatcher
+
+    pipe = AudioDiffusionPipeline.from_pretrained(a.model, dtype=a.dtype)
+    batcher = DynamicBatcher(pipe, max_batch=a.max_batch,
+                             max_wait_ms=a.max_wait_ms, steps=a.steps, pcm16=True)
+    print(f"warming up tiers {batcher.tiers}...", flush=True)
+    batcher.warmup()
+
+    # --- batched serving: closed-loop clients ---------------------------------
+    stop = threading.Event()
+    served = [0] * a.clients
+    t_deadline = None
+
+    def client(i):
+        seed = i
+        while not stop.is_set():
+            batcher.submit(seed=seed).result()
+            seed += a.clients
+            if t_deadline is not None and time.monotonic() >= t_deadline:
+                stop.set()
+            served[i] += 1
+
+    threads = [threading.Thread(target=client, args=(i,), daemon=True)
+               for i in range(a.clients)]
+    t0 = time.monotonic()
+    t_deadline = t0 + a.seconds
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    elapsed = time.monotonic() - t0
+    serving_rate = sum(served) / elapsed
+
+    # --- ceiling: the same pipeline driven directly at max_batch --------------
+    import numpy as np
+
+    h, w = pipe.sample_hw
+    c = pipe.unet.config.in_channels
+    noise = np.random.default_rng(0).standard_normal(
+        (a.max_batch, h, w, c)).astype(np.float32)
+    pipe(noise=noise, steps=a.steps, return_arrays=True, pcm16=True)  # warm
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < max(5.0, a.seconds / 3):
+        raw, aud = pipe(noise=noise, steps=a.steps, return_arrays=True, pcm16=True)
+        np.asarray(aud)  # materialize like the batcher does
+        n += a.max_batch
+    direct_rate = n / (time.monotonic() - t0)
+
+    print(json.dumps({
+        "serving_samples_per_sec": round(serving_rate, 2),
+        "direct_samples_per_sec": round(direct_rate, 2),
+        "batching_efficiency": round(serving_rate / direct_rate, 3),
+        "clients": a.clients,
+        "max_batch": a.max_batch,
+        "latency": batcher.latency_summary(),
+    }))
+    batcher.close()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
