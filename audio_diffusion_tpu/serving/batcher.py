@@ -23,10 +23,15 @@ TPU-first design:
   (ops/griffin_lim.py:86), so audio matches across batch compositions at
   GL-convergence level, not bitwise — same property as the reference, where
   librosa re-randomizes phase per call (reference mel.py:165-168).
-* **One worker owns the device.** Requests enqueue; a single thread drains
-  compatible requests (same steps/eta/conditioning shape — they share one
-  compiled program), runs ONE pipeline call, and fans results back out to
-  futures. HTTP handler threads never touch JAX.
+* **One worker owns the device; transfers overlap compute.** Requests
+  enqueue (their noise generated on the submitting thread); a single worker
+  drains compatible requests (same steps/eta/conditioning shape — they share
+  one compiled program) and dispatches ONE pipeline call. JAX dispatch is
+  async, so the device arrays go to a separate finisher thread that pulls
+  them to host and resolves futures while the worker assembles the next
+  batch — device-to-host time (the dominant serving cost on thin host links)
+  hides behind the next batch's compute. HTTP handler threads never touch
+  JAX.
 
 The reference has no analog — its apps call the pipeline with
 ``batch_size=1`` per user interaction (app.py:26-43).
@@ -56,6 +61,9 @@ class GenerationResult:
 @dataclass
 class _Pending:
     seed: int
+    noise: np.ndarray  # (H, W, C) — generated at submit time, on the
+    # submitting thread: keeps host RNG work off the serial device-owning
+    # worker and parallel across clients
     encoding: Optional[np.ndarray]  # (seq, dim) or None
     future: Future
     enqueued: float
@@ -130,8 +138,13 @@ class DynamicBatcher:
         self.batches_run = 0  # observability: pipeline calls made
         self.requests_served = 0
         self.stats = deque(maxlen=256)  # per-batch {n, queue_s, run_s}
+        import queue
+
+        self._finish_q: queue.Queue = queue.Queue(maxsize=2)
         self._worker = threading.Thread(target=self._run, name="adt-batcher", daemon=True)
         self._worker.start()
+        self._finisher = threading.Thread(target=self._finish_loop, name="adt-finisher", daemon=True)
+        self._finisher.start()
 
     # ------------------------------------------------------------- public API
 
@@ -184,12 +197,14 @@ class DynamicBatcher:
         elif cross_dim is not None:
             raise ValueError("this model is conditional — an encoding= is required")
         key = (steps, eta, None if encoding is None else encoding.shape)
+        h, w = self.pipe.sample_hw
+        noise = _noise_for_seed(seed, h, w, self.pipe.unet.config.in_channels)
         fut: Future = Future()
         with self._cond:
             if self._closed:
                 raise RuntimeError("batcher is closed")
             self._groups.setdefault(key, deque()).append(
-                _Pending(int(seed), encoding, fut, time.monotonic())
+                _Pending(seed, noise, encoding, fut, time.monotonic())
             )
             self._cond.notify()
         return fut
@@ -215,11 +230,13 @@ class DynamicBatcher:
                     )
 
     def close(self) -> None:
-        """Stop the worker after draining already-queued requests."""
+        """Stop the workers after draining already-queued requests."""
         with self._cond:
             self._closed = True
             self._cond.notify_all()
         self._worker.join()
+        self._finish_q.put(None)
+        self._finisher.join()
 
     # ---------------------------------------------------------------- worker
 
@@ -274,7 +291,7 @@ class DynamicBatcher:
 
         noise = np.zeros((tier, h, w, c), np.float32)
         for i, p in enumerate(batch):
-            noise[i] = _noise_for_seed(p.seed, h, w, c)
+            noise[i] = p.noise
         encoding = None
         if enc_shape is not None:
             encoding = np.zeros((tier,) + enc_shape, np.float32)
@@ -295,19 +312,39 @@ class DynamicBatcher:
             return_arrays=True,
             pcm16=self.pcm16,
         )
-        raw = np.asarray(raw_dev)
-        audios = np.asarray(audios_dev)
-        now = time.monotonic()
-        self.batches_run += 1
-        self.requests_served += len(batch)
-        self.stats.append({
-            "n": len(batch),
-            "queue_s": round(now - min(p.enqueued for p in batch), 4),
-            "run_s": round(now - t_run, 4),
-        })
-        sr = self.pipe.mel.get_sample_rate()
-        for i, p in enumerate(batch):
-            p.future.set_result(GenerationResult(raw[i], audios[i], sr))
+        # Hand device arrays to the finisher: JAX dispatch is async, so the
+        # worker can assemble + dispatch the NEXT batch while this one's
+        # device-to-host transfer and fan-out happen on the finisher thread.
+        # maxsize=2 bounds how many undelivered batch outputs sit on device.
+        self._finish_q.put((batch, raw_dev, audios_dev, t_run))
+
+    # -------------------------------------------------------------- finisher
+
+    def _finish_loop(self) -> None:
+        while True:
+            item = self._finish_q.get()
+            if item is None:
+                return
+            batch, raw_dev, audios_dev, t_run = item
+            try:
+                raw = np.asarray(raw_dev)
+                audios = np.asarray(audios_dev)
+            except Exception as e:
+                for p in batch:
+                    if not p.future.done():
+                        p.future.set_exception(e)
+                continue
+            now = time.monotonic()
+            self.batches_run += 1
+            self.requests_served += len(batch)
+            self.stats.append({
+                "n": len(batch),
+                "queue_s": round(now - min(p.enqueued for p in batch), 4),
+                "run_s": round(now - t_run, 4),
+            })
+            sr = self.pipe.mel.get_sample_rate()
+            for i, p in enumerate(batch):
+                p.future.set_result(GenerationResult(raw[i], audios[i], sr))
 
     def latency_summary(self) -> dict:
         """p50/p95 request latency + mean occupancy over recent batches."""
