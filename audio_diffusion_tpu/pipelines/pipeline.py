@@ -232,10 +232,30 @@ class AudioDiffusionPipeline:
         input_images = jnp.zeros_like(noise)
         mask_start = mask_end = 0
         if has_input:
-            self.mel.load_audio(audio_file, raw_audio)
-            input_arr = np.asarray(self.mel.spectrogram_images_from_audio(self.mel.get_audio_slice(slice)[None]))
+            if raw_audio is not None and np.asarray(raw_audio).ndim == 2:
+                # Batched per-sample inputs — a TPU-first extension: the
+                # reference broadcasts ONE clip across the whole batch
+                # (pipeline:150-151), so multi-clip audio2audio costs one
+                # serial call per clip there. Each row is one slice at the
+                # mel sample rate (shorter rows zero-pad, like
+                # mel.load_audio); rows must match the generation batch.
+                rows = np.asarray(raw_audio, dtype=np.float32)
+                if rows.shape[0] != noise.shape[0]:
+                    raise ValueError(
+                        f"raw_audio batch ({rows.shape[0]}) must equal the "
+                        f"generation batch ({noise.shape[0]}); pass matching "
+                        "noise= or batch_size=."
+                    )
+                full = self.mel.x_res * self.mel.hop_length
+                if rows.shape[1] < full:
+                    rows = np.pad(rows, ((0, 0), (0, full - rows.shape[1])))
+                slices = rows[:, : full - 1]  # slice_size = x_res*hop - 1
+                input_arr = np.asarray(self.mel.spectrogram_images_from_audio(slices))
+            else:
+                self.mel.load_audio(audio_file, raw_audio)
+                input_arr = np.asarray(self.mel.spectrogram_images_from_audio(self.mel.get_audio_slice(slice)[None]))
             input_images = (jnp.asarray(input_arr, dtype=jnp.float32) / 255.0) * 2.0 - 1.0
-            input_images = input_images[..., None]  # (1, H, W, 1)
+            input_images = input_images[..., None]  # (B or 1, H, W, 1)
 
             if self.is_latent:
                 # ONE jitted program — eager flax apply dispatches every op

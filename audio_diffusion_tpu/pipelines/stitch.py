@@ -60,11 +60,22 @@ def remix(
     steps: Optional[int] = None,
     key: Optional[jax.Array] = None,
     eta: float = 0.0,
+    parallel: bool = False,
 ) -> np.ndarray:
     """Style-transfer a whole track window by window with a pinned key and
     overlap re-insertion (test_model.ipynb cell 20). Each window is re-noised
     to ``start_step`` and denoised; the previous window's generated tail is
-    peak-matched and written over the new window's head before generation."""
+    peak-matched and written over the new window's head before generation.
+
+    ``parallel=True`` trades the serial tail re-insertion for one BATCHED
+    device call over all windows (TPU-first: batch-32 throughput is ~12x
+    batch-1, BASELINE.md): every window re-noises from the SAME pinned
+    initial noise — the serial mode's continuity mechanism — and overlaps
+    stitch by linear crossfade instead of tail rewriting. Minutes of audio
+    restyle in one generation call."""
+    if parallel:
+        return _remix_parallel(pipe, track_audio, start_step, overlap_secs,
+                               steps, key, eta)
     mel = pipe.mel
     sample_rate = mel.get_sample_rate()
     overlap_samples = int(overlap_secs * sample_rate)
@@ -96,3 +107,57 @@ def remix(
         prev = np.asarray(audios[0])
         track = np.concatenate([track, prev[overlap_samples * not_first :]])
     return track
+
+
+def _remix_parallel(pipe, track_audio, start_step, overlap_secs, steps, key, eta):
+    """All windows in ONE batched generation (see :func:`remix` parallel=True).
+
+    Matches the serial mode's pinned-key semantics by tiling one shared
+    initial-noise sample across the window batch; windows crossfade linearly
+    over ``overlap_secs`` at stitch time."""
+    import jax.numpy as jnp
+
+    mel = pipe.mel
+    sample_rate = mel.get_sample_rate()
+    overlap_samples = int(overlap_secs * sample_rate)
+    slice_size = mel.x_res * mel.hop_length
+    stride = slice_size - overlap_samples
+    key = key if key is not None else jax.random.key(0)
+
+    track_audio = np.asarray(track_audio, dtype=np.float32)
+    n = len(track_audio) // stride
+    if n == 0:
+        return np.array([], dtype=np.float32)
+    windows = np.stack([
+        np.pad(w := track_audio[i * stride : i * stride + slice_size],
+               (0, slice_size - len(w)))
+        for i in range(n)
+    ])
+
+    # The serial mode pins ONE key so every window re-noises from the same
+    # noise (its continuity mechanism); replicate that exactly by tiling a
+    # single noise sample. Mirrors the pipeline's internal key split.
+    h, w_ = pipe.sample_hw
+    _, noise_key, _, _ = jax.random.split(key, 4)
+    noise1 = jax.random.normal(noise_key, (1, h, w_, pipe.unet.config.in_channels))
+    noise = jnp.tile(noise1, (n, 1, 1, 1))
+
+    _, (_, audios) = pipe(
+        raw_audio=windows,
+        start_step=start_step,
+        steps=steps,
+        noise=noise,
+        eta=eta,
+        return_dict=False,
+    )
+    audios = [np.asarray(a) for a in audios]
+
+    out = audios[0]
+    fade_in = np.linspace(0.0, 1.0, overlap_samples, dtype=np.float32) if overlap_samples else None
+    for a in audios[1:]:
+        if overlap_samples:
+            head = out[-overlap_samples:] * (1.0 - fade_in) + a[:overlap_samples] * fade_in
+            out = np.concatenate([out[:-overlap_samples], head, a[overlap_samples:]])
+        else:
+            out = np.concatenate([out, a])
+    return out

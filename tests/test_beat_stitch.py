@@ -116,3 +116,24 @@ def test_remix_covers_track(tiny_pipe):
     gen_len = (mel.x_res - 1) * mel.hop_length
     expected = gen_len + (n_windows - 1) * (gen_len - int(overlap_secs * sr))
     assert len(out) == expected
+
+
+def test_remix_parallel_covers_track(tiny_pipe):
+    """parallel=True restyles every window in ONE batched call and crossfades
+    overlaps; same output length arithmetic as the serial mode."""
+    mel = tiny_pipe.mel
+    sr = mel.get_sample_rate()
+    slice_size = mel.x_res * mel.hop_length
+    overlap_secs = 0.1
+    stride = slice_size - int(overlap_secs * sr)
+    track_audio = np.random.default_rng(1).standard_normal(3 * slice_size).astype(np.float32) * 0.1
+    out = remix(tiny_pipe, track_audio, start_step=1, overlap_secs=overlap_secs,
+                steps=2, parallel=True)
+    n_windows = len(track_audio) // stride
+    gen_len = (mel.x_res - 1) * mel.hop_length
+    expected = gen_len + (n_windows - 1) * (gen_len - int(overlap_secs * sr))
+    assert len(out) == expected
+    assert np.isfinite(out).all()
+    # Every window shares the pinned initial noise (the serial semantics) but
+    # sees its own input slice, so windows must differ.
+    assert not np.array_equal(out[:gen_len], out[-gen_len:])

@@ -326,3 +326,23 @@ def test_sharded_conditional_inference_over_mesh():
     b = sharded(batch_size=8, steps=3, key=jax.random.key(5), encoding=enc,
                 return_images_only=True)
     np.testing.assert_array_equal(a, b)
+
+
+def test_batched_per_sample_audio_input(ddim_pipe):
+    """(B, samples) raw_audio conditions each row on ITS OWN clip — bitwise
+    equal to B separate single-input calls (the reference broadcasts one clip
+    across the batch, pipeline:150-151, costing a serial call per clip)."""
+    full = ddim_pipe.mel.x_res * ddim_pipe.mel.hop_length
+    rng = np.random.default_rng(0)
+    rows = (rng.standard_normal((2, full)) * 0.1).astype(np.float32)
+    noise = np.asarray(jax.random.normal(jax.random.key(9), (2, RES, RES, 1)))
+
+    batched = ddim_pipe(raw_audio=rows, noise=noise, start_step=2, steps=4,
+                        return_images_only=True)
+    for i in range(2):
+        solo = ddim_pipe(raw_audio=rows[i], noise=noise[i:i + 1], start_step=2,
+                         steps=4, return_images_only=True)
+        np.testing.assert_array_equal(batched[i], solo[0])
+
+    with pytest.raises(ValueError, match="raw_audio batch"):
+        ddim_pipe(raw_audio=rows, noise=noise[:1], steps=4)
