@@ -65,6 +65,7 @@ class _Pending:
     # submitting thread: keeps host RNG work off the serial device-owning
     # worker and parallel across clients
     encoding: Optional[np.ndarray]  # (seq, dim) or None
+    audio: Optional[np.ndarray]  # (samples,) input clip for audio-to-audio
     future: Future
     enqueued: float
 
@@ -101,6 +102,7 @@ class DynamicBatcher:
         pcm16: bool = False,
         allowed_steps: Optional[Sequence[int]] = None,
         allowed_etas: Optional[Sequence[float]] = None,
+        allowed_start_steps: Optional[Sequence[int]] = None,
         conditional_seq: int = 1,
     ):
         if max_batch < 1:
@@ -130,6 +132,11 @@ class DynamicBatcher:
         # accepted; everything else fails at submit() with the fix spelled out.
         self.allowed_steps = {self.default_steps} | {int(s) for s in (allowed_steps or ())}
         self.allowed_etas = {self.default_eta} | {float(e) for e in (allowed_etas or ())}
+        # Audio-to-audio (style transfer) re-noises the client's clip to
+        # start_step and denoises from there (reference workflow,
+        # pipeline:150-158). Each start_step is its own compiled scan length,
+        # so served values are declared up front like steps.
+        self.allowed_start_steps = {int(s) for s in (allowed_start_steps or ())}
         self.conditional_seq = conditional_seq
         self.pcm16 = pcm16
         self._groups: dict = {}  # settings key -> deque[_Pending]
@@ -154,6 +161,8 @@ class DynamicBatcher:
         steps: Optional[int] = None,
         eta: Optional[float] = None,
         encoding: Optional[np.ndarray] = None,
+        audio: Optional[np.ndarray] = None,
+        start_step: int = 0,
     ) -> Future:
         """Enqueue one generation; returns a Future of :class:`GenerationResult`.
 
@@ -196,7 +205,29 @@ class DynamicBatcher:
                 )
         elif cross_dim is not None:
             raise ValueError("this model is conditional — an encoding= is required")
-        key = (steps, eta, None if encoding is None else encoding.shape)
+        start_step = int(start_step)
+        if audio is not None:
+            if start_step not in self.allowed_start_steps:
+                raise ValueError(
+                    f"audio-to-audio start_step={start_step} is not served "
+                    f"(allowed: {sorted(self.allowed_start_steps) or 'none'}); "
+                    "declare served values via allowed_start_steps "
+                    "(CLI: --allow_start_steps) so they compile at warmup."
+                )
+            if not 0 < start_step < steps:
+                raise ValueError(
+                    f"start_step must be in (0, steps={steps}) for audio-to-audio, "
+                    f"got {start_step}"
+                )
+            audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+            full = self.pipe.mel.x_res * self.pipe.mel.hop_length
+            if len(audio) > full:
+                audio = audio[:full]  # one slice per request (mel slice size)
+        elif start_step != 0:
+            raise ValueError("start_step without audio= has nothing to re-noise — "
+                             "pass the input clip")
+        key = (steps, eta, None if encoding is None else encoding.shape,
+               start_step, audio is not None)
         h, w = self.pipe.sample_hw
         noise = _noise_for_seed(seed, h, w, self.pipe.unet.config.in_channels)
         fut: Future = Future()
@@ -204,7 +235,7 @@ class DynamicBatcher:
             if self._closed:
                 raise RuntimeError("batcher is closed")
             self._groups.setdefault(key, deque()).append(
-                _Pending(seed, noise, encoding, fut, time.monotonic())
+                _Pending(seed, noise, encoding, audio, fut, time.monotonic())
             )
             self._cond.notify()
         return fut
@@ -217,6 +248,7 @@ class DynamicBatcher:
         h, w = self.pipe.sample_hw
         c = self.pipe.unet.config.in_channels
         cross_dim = self.pipe.unet.config.cross_attention_dim
+        full = self.pipe.mel.x_res * self.pipe.mel.hop_length
         for tier in self.tiers:
             noise = np.zeros((tier, h, w, c), np.float32)
             enc = None
@@ -224,10 +256,17 @@ class DynamicBatcher:
                 enc = np.zeros((tier, self.conditional_seq, cross_dim), np.float32)
             for steps in sorted(self.allowed_steps):
                 for eta in sorted(self.allowed_etas):
-                    self.pipe(
-                        noise=noise, encoding=enc, steps=steps, eta=eta,
-                        return_arrays=True, pcm16=self.pcm16,
-                    )
+                    # Pure generation + each served audio-to-audio start_step
+                    # (every start_step is its own compiled scan length).
+                    for start_step in [0] + sorted(
+                        s for s in self.allowed_start_steps if 0 < s < steps
+                    ):
+                        self.pipe(
+                            noise=noise, encoding=enc, steps=steps, eta=eta,
+                            start_step=start_step,
+                            raw_audio=np.zeros((tier, full), np.float32) if start_step else None,
+                            return_arrays=True, pcm16=self.pcm16,
+                        )
 
     def close(self) -> None:
         """Stop the workers after draining already-queued requests."""
@@ -284,7 +323,7 @@ class DynamicBatcher:
                         p.future.set_exception(e)
 
     def _run_batch(self, key: tuple, batch: list) -> None:
-        steps, eta, enc_shape = key
+        steps, eta, enc_shape, start_step, has_audio = key
         h, w = self.pipe.sample_hw
         c = self.pipe.unet.config.in_channels
         tier = self._tier_for(len(batch))
@@ -297,6 +336,15 @@ class DynamicBatcher:
             encoding = np.zeros((tier,) + enc_shape, np.float32)
             for i, p in enumerate(batch):
                 encoding[i] = p.encoding
+        raw_audio = None
+        if has_audio:
+            # (tier, slice) — each request styles ITS OWN clip (batched
+            # per-sample inputs, pipelines/pipeline.py); padding rows are
+            # silence and their outputs are dropped.
+            full = self.pipe.mel.x_res * self.pipe.mel.hop_length
+            raw_audio = np.zeros((tier, full), np.float32)
+            for i, p in enumerate(batch):
+                raw_audio[i, : len(p.audio)] = p.audio
 
         import jax
 
@@ -304,6 +352,8 @@ class DynamicBatcher:
         raw_dev, audios_dev = self.pipe(
             noise=noise,
             encoding=encoding,
+            raw_audio=raw_audio,
+            start_step=start_step,
             steps=steps,
             eta=eta,
             # eta>0 step noise is keyed per BATCH (reproducible for a fixed

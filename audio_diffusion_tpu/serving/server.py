@@ -68,13 +68,15 @@ class AudioDiffusionServer:
         eta: float = 0.0,
         allowed_steps=None,
         allowed_etas=None,
+        allowed_start_steps=None,
         conditional_seq: int = 1,
         request_timeout_s: float = 600.0,
     ):
         self.batcher = DynamicBatcher(
             pipe, max_batch=max_batch, max_wait_ms=max_wait_ms, steps=steps,
             eta=eta, pcm16=True, allowed_steps=allowed_steps,
-            allowed_etas=allowed_etas, conditional_seq=conditional_seq,
+            allowed_etas=allowed_etas, allowed_start_steps=allowed_start_steps,
+            conditional_seq=conditional_seq,
         )
         self.sample_rate = pipe.mel.get_sample_rate()
         self.request_timeout_s = request_timeout_s
@@ -147,11 +149,20 @@ def _make_handler(server: AudioDiffusionServer):
                 encoding = req.get("encoding")
                 if encoding is not None:
                     encoding = np.asarray(encoding, dtype=np.float32)
+                audio = None
+                if req.get("audio_pcm16_base64"):
+                    # Audio-to-audio: one 16-bit PCM clip at the model's
+                    # sample rate (clients resample; /healthz reports it).
+                    audio = np.frombuffer(
+                        base64.b64decode(req["audio_pcm16_base64"]), dtype=np.int16
+                    ).astype(np.float32) / 32767.0
                 fut = server.batcher.submit(
                     seed=int(req.get("seed", 0)),
                     steps=req.get("steps"),
                     eta=req.get("eta"),
                     encoding=encoding,
+                    audio=audio,
+                    start_step=int(req.get("start_step", 0)),
                 )
             except (ValueError, TypeError, json.JSONDecodeError) as e:
                 self._respond_json(400, {"error": str(e)})

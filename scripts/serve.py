@@ -36,6 +36,10 @@ def parse_args(argv=None):
                         "400 rather than compiling on live traffic)")
     p.add_argument("--allow_etas", type=float, nargs="*", default=None,
                    help="additional per-request eta values to serve")
+    p.add_argument("--allow_start_steps", type=int, nargs="*", default=None,
+                   help="audio-to-audio start_step values to serve (each is a "
+                        "distinct compiled scan; requests send audio_pcm16_base64 "
+                        "+ start_step)")
     p.add_argument("--dtype", type=str, default=None, choices=["float32", "bfloat16"],
                    help="serving compute-dtype override (bfloat16: +20%% measured)")
     p.add_argument("--mesh_data", type=int, default=None,
@@ -56,6 +60,7 @@ def main(argv=None):
         a.model, dtype=a.dtype, mesh_data=a.mesh_data, host=a.host, port=a.port,
         max_batch=a.max_batch, max_wait_ms=a.max_wait_ms, steps=a.steps, eta=a.eta,
         allowed_steps=a.allow_steps, allowed_etas=a.allow_etas,
+        allowed_start_steps=a.allow_start_steps,
     )
     if a.warmup:
         logging.info("warming up %s batch tiers (first TPU compiles take minutes)...",

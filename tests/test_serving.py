@@ -305,3 +305,60 @@ def test_serve_cli_parser():
     a = serve.parse_args(["--model", "m", "--max_batch", "32", "--dtype", "bfloat16",
                           "--no-warmup"])
     assert a.max_batch == 32 and a.dtype == "bfloat16" and a.warmup is False
+
+
+def test_audio_to_audio_serving(pipe):
+    """Style-transfer requests: each request's clip conditions ITS OWN output
+    (batched per-sample inputs), bit-identical to a direct pipeline call with
+    the same noise and input (reference workflow: re-noise to start_step,
+    pipeline:150-158)."""
+    full = RES * HOP
+    rng = np.random.default_rng(0)
+    clips = (rng.standard_normal((2, full)) * 0.1).astype(np.float32)
+
+    batcher = DynamicBatcher(pipe, max_batch=4, max_wait_ms=200, steps=4,
+                             allowed_start_steps=(2,))
+    try:
+        with pytest.raises(ValueError, match="start_step=1 is not served"):
+            batcher.submit(audio=clips[0], start_step=1)
+        with pytest.raises(ValueError, match="nothing to re-noise"):
+            batcher.submit(start_step=2)
+        futs = [batcher.submit(seed=s, audio=clips[s], start_step=2) for s in (0, 1)]
+        results = [f.result(timeout=120) for f in futs]
+    finally:
+        batcher.close()
+
+    # Direct call with the same per-request noise + clip must match bitwise
+    # (padding rows in the tier batch don't perturb real rows).
+    noise = np.stack([_noise_for_seed(s, RES, RES, 1) for s in (0, 1)])
+    direct_raw, _ = pipe(raw_audio=clips, noise=noise, start_step=2, steps=4,
+                         return_arrays=True)
+    direct = np.asarray(direct_raw)
+    for i in (0, 1):
+        np.testing.assert_array_equal(results[i].image, direct[i])
+    assert not np.array_equal(results[0].image, results[1].image)
+
+
+def test_http_audio_to_audio(pipe):
+    import base64
+
+    server = AudioDiffusionServer(pipe, port=0, max_batch=2, max_wait_ms=50,
+                                  steps=4, allowed_start_steps=(2,))
+    server.start()
+    host, port = server.address[:2]
+    try:
+        clip = (np.sin(np.arange(RES * HOP) * 0.05) * 20000).astype(np.int16)
+        body = json.dumps({
+            "seed": 3, "start_step": 2,
+            "audio_pcm16_base64": base64.b64encode(clip.tobytes()).decode(),
+        })
+        conn = http.client.HTTPConnection(host, port, timeout=300)
+        conn.request("POST", "/generate", body, {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        data = resp.read()
+        conn.close()
+        assert resp.status == 200 and resp.getheader("Content-Type") == "audio/wav"
+        with wave.open(io.BytesIO(data)) as wav:
+            assert wav.getnframes() == (RES - 1) * HOP
+    finally:
+        server.stop()
