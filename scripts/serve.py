@@ -66,6 +66,18 @@ def main(argv=None):
         logging.info("warming up %s batch tiers (first TPU compiles take minutes)...",
                      server.batcher.tiers)
         server.batcher.warmup()
+
+    # Graceful drain on SIGTERM (orchestrators send it before SIGKILL):
+    # stop accepting, finish queued batches, then exit 0.
+    import signal
+
+    def _term(signum, frame):
+        logging.info("SIGTERM: draining in-flight requests and shutting down")
+        import threading
+
+        threading.Thread(target=server.stop, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
