@@ -52,10 +52,16 @@ def generate_spectrogram_audio_and_loop(model_id: str, factory=AudioDiffusion):
 
 def wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
     """Peak-normalized 16-bit WAV bytes (reference: streamlit_app.py:36-45,
-    which used soundfile; plain stdlib wave here)."""
+    which used soundfile; plain stdlib wave here). int16 input (the serving
+    pcm16 path — already device-quantized) passes through untouched, so the
+    wav and raw-PCM delivery paths return identical samples."""
     import wave
 
-    pcm = np.clip(normalize(np.asarray(audio)) * 32767.0, -32768, 32767).astype(np.int16)
+    audio = np.asarray(audio)
+    if audio.dtype == np.int16:
+        pcm = np.ascontiguousarray(audio)
+    else:
+        pcm = np.clip(normalize(audio) * 32767.0, -32768, 32767).astype(np.int16)
     buf = BytesIO()
     with wave.open(buf, "wb") as fh:
         fh.setnchannels(1)

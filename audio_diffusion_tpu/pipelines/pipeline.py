@@ -231,8 +231,10 @@ class AudioDiffusionPipeline:
         has_input = audio_file is not None or raw_audio is not None
         input_images = jnp.zeros_like(noise)
         mask_start = mask_end = 0
+        batched_input = False
         if has_input:
-            if raw_audio is not None and np.asarray(raw_audio).ndim == 2:
+            batched_input = raw_audio is not None and np.asarray(raw_audio).ndim == 2
+            if batched_input:
                 # Batched per-sample inputs — a TPU-first extension: the
                 # reference broadcasts ONE clip across the whole batch
                 # (pipeline:150-151), so multi-clip audio2audio costs one
@@ -260,13 +262,28 @@ class AudioDiffusionPipeline:
             if self.is_latent:
                 # ONE jitted program — eager flax apply dispatches every op
                 # separately (~100 ms each through the remote backend).
-                if "vae_encode" not in self._compiled:
-                    self._compiled["vae_encode"] = jax.jit(
-                        lambda p, x, k: LATENT_SCALE * self.vqvae.apply(
-                            {"params": p}, x, method=self.vqvae.encode
-                        ).sample(k)
-                    )
-                input_images = self._compiled["vae_encode"](self.vqvae_params, input_images, vae_key)
+                if batched_input:
+                    # Batched per-sample inputs are a serving contract: a row's
+                    # result must not depend on batch composition, so encode to
+                    # the posterior MODE (deterministic; the batch-shaped
+                    # .sample(key) would give row i different noise per tier —
+                    # same reasoning as encode()'s inversion path).
+                    if "vae_encode_mode" not in self._compiled:
+                        self._compiled["vae_encode_mode"] = jax.jit(
+                            lambda p, x: LATENT_SCALE * self.vqvae.apply(
+                                {"params": p}, x, method=self.vqvae.encode
+                            ).mode()
+                        )
+                    input_images = self._compiled["vae_encode_mode"](self.vqvae_params, input_images)
+                else:
+                    # Reference semantics: sample the posterior (pipeline:143-147).
+                    if "vae_encode" not in self._compiled:
+                        self._compiled["vae_encode"] = jax.jit(
+                            lambda p, x, k: LATENT_SCALE * self.vqvae.apply(
+                                {"params": p}, x, method=self.vqvae.encode
+                            ).sample(k)
+                        )
+                    input_images = self._compiled["vae_encode"](self.vqvae_params, input_images, vae_key)
 
             input_images = jnp.broadcast_to(input_images, noise.shape)
 

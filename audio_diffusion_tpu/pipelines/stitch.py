@@ -71,8 +71,12 @@ def remix(
     device call over all windows (TPU-first: batch-32 throughput is ~12x
     batch-1, BASELINE.md): every window re-noises from the SAME pinned
     initial noise — the serial mode's continuity mechanism — and overlaps
-    stitch by linear crossfade instead of tail rewriting. Minutes of audio
-    restyle in one generation call."""
+    stitch by linear crossfade instead of tail rewriting. The window batch
+    pads to the next power of two so tracks of different lengths reuse
+    compiled programs (log2 shapes, not one per track length). With eta>0
+    the per-STEP noise is batch-shaped, i.e. uncorrelated across windows —
+    unlike serial, where the pinned key repeats it; use eta=0 (default) for
+    maximal cross-window coherence in parallel mode."""
     if parallel:
         return _remix_parallel(pipe, track_audio, start_step, overlap_secs,
                                steps, key, eta)
@@ -135,22 +139,29 @@ def _remix_parallel(pipe, track_audio, start_step, overlap_secs, steps, key, eta
     ])
 
     # The serial mode pins ONE key so every window re-noises from the same
-    # noise (its continuity mechanism); replicate that exactly by tiling a
-    # single noise sample. Mirrors the pipeline's internal key split.
+    # initial noise (its continuity mechanism); replicate that by tiling a
+    # single noise sample (mirrors the pipeline's internal key split). Pad
+    # the window batch to the next power of two: each batch shape is its own
+    # compiled program, so padding bounds compiles to log2(n) shapes instead
+    # of one per track length (multi-minute remote compiles each).
     h, w_ = pipe.sample_hw
     _, noise_key, _, _ = jax.random.split(key, 4)
     noise1 = jax.random.normal(noise_key, (1, h, w_, pipe.unet.config.in_channels))
-    noise = jnp.tile(noise1, (n, 1, 1, 1))
+    n_pad = 1 << (n - 1).bit_length()
+    if n_pad > n:
+        windows = np.concatenate([windows, np.zeros((n_pad - n, slice_size), np.float32)])
+    noise = jnp.tile(noise1, (n_pad, 1, 1, 1))
 
     _, (_, audios) = pipe(
         raw_audio=windows,
         start_step=start_step,
         steps=steps,
         noise=noise,
+        step_key=key,
         eta=eta,
         return_dict=False,
     )
-    audios = [np.asarray(a) for a in audios]
+    audios = [np.asarray(a) for a in audios[:n]]
 
     out = audios[0]
     fade_in = np.linspace(0.0, 1.0, overlap_samples, dtype=np.float32) if overlap_samples else None

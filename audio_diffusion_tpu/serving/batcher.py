@@ -144,7 +144,9 @@ class DynamicBatcher:
         self._closed = False
         self.batches_run = 0  # observability: pipeline calls made
         self.requests_served = 0
-        self.stats = deque(maxlen=256)  # per-batch {n, queue_s, run_s}
+        self.stats = deque(maxlen=256)  # per-batch {n, run_s}
+        self._latencies = deque(maxlen=1024)  # per-REQUEST submit->result secs
+        self._stats_lock = threading.Lock()  # healthz readers vs finisher writer
         import queue
 
         self._finish_q: queue.Queue = queue.Queue(maxsize=2)
@@ -385,27 +387,28 @@ class DynamicBatcher:
                         p.future.set_exception(e)
                 continue
             now = time.monotonic()
-            self.batches_run += 1
-            self.requests_served += len(batch)
-            self.stats.append({
-                "n": len(batch),
-                "queue_s": round(now - min(p.enqueued for p in batch), 4),
-                "run_s": round(now - t_run, 4),
-            })
+            with self._stats_lock:
+                self.batches_run += 1
+                self.requests_served += len(batch)
+                self.stats.append({"n": len(batch), "run_s": round(now - t_run, 4)})
+                self._latencies.extend(round(now - p.enqueued, 4) for p in batch)
             sr = self.pipe.mel.get_sample_rate()
             for i, p in enumerate(batch):
                 p.future.set_result(GenerationResult(raw[i], audios[i], sr))
 
     def latency_summary(self) -> dict:
-        """p50/p95 request latency + mean occupancy over recent batches."""
-        stats = list(self.stats)
-        if not stats:
+        """p50/p95 PER-REQUEST submit-to-result latency + mean occupancy and
+        device time over recent batches (snapshotted under the stats lock —
+        the finisher appends concurrently)."""
+        with self._stats_lock:
+            stats = list(self.stats)
+            lats = sorted(self._latencies)
+        if not stats or not lats:
             return {}
-        qs = sorted(s["queue_s"] for s in stats)
         return {
             "recent_batches": len(stats),
             "mean_batch": round(sum(s["n"] for s in stats) / len(stats), 2),
-            "p50_latency_s": qs[len(qs) // 2],
-            "p95_latency_s": qs[min(len(qs) - 1, int(len(qs) * 0.95))],
+            "p50_latency_s": lats[len(lats) // 2],
+            "p95_latency_s": lats[min(len(lats) - 1, int(len(lats) * 0.95))],
             "mean_run_s": round(sum(s["run_s"] for s in stats) / len(stats), 4),
         }

@@ -34,21 +34,6 @@ logger = logging.getLogger("audio_diffusion_tpu.serving")
 
 
 def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
-    if audio.dtype == np.int16:
-        # Already device-quantized PCM (batcher pcm16 path): write the frames
-        # straight into the container — re-normalizing through float would
-        # both waste host work and make the wav path differ by LSBs from the
-        # json path's pcm16_base64 for the same generation.
-        import io
-        import wave
-
-        buf = io.BytesIO()
-        with wave.open(buf, "wb") as fh:
-            fh.setnchannels(1)
-            fh.setsampwidth(2)
-            fh.setframerate(sample_rate)
-            fh.writeframes(np.ascontiguousarray(audio).tobytes())
-        return buf.getvalue()
     from ..apps import wav_bytes
 
     return wav_bytes(audio, sample_rate)
@@ -82,7 +67,11 @@ class AudioDiffusionServer:
         self.request_timeout_s = request_timeout_s
         handler = _make_handler(self)
         self.httpd = ThreadingHTTPServer((host, port), handler)
-        self.httpd.daemon_threads = True
+        # Non-daemon handler threads + a socket timeout on keep-alive reads:
+        # server_close() then WAITS for in-flight responses to be written
+        # (graceful drain), while idle keep-alive connections exit within the
+        # timeout instead of blocking shutdown forever.
+        self.httpd.daemon_threads = False
         self._thread: Optional[threading.Thread] = None
 
     @property
@@ -102,16 +91,20 @@ class AudioDiffusionServer:
         self.httpd.serve_forever()
 
     def stop(self) -> None:
+        # Order matters: stop accepting -> drain the batcher (resolves every
+        # queued future so blocked handlers can respond; late submits 503) ->
+        # close, which joins the non-daemon handler threads.
         self.httpd.shutdown()
+        self.batcher.close()
         self.httpd.server_close()
         if self._thread is not None:
             self._thread.join()
-        self.batcher.close()
 
 
 def _make_handler(server: AudioDiffusionServer):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        timeout = 5  # idle keep-alive reads exit within this during shutdown
 
         def log_message(self, fmt, *args):  # route to logging, not stderr
             logger.debug("%s " + fmt, self.client_address[0], *args)
@@ -146,6 +139,8 @@ def _make_handler(server: AudioDiffusionServer):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("request body must be a JSON object")
                 encoding = req.get("encoding")
                 if encoding is not None:
                     encoding = np.asarray(encoding, dtype=np.float32)
@@ -166,6 +161,9 @@ def _make_handler(server: AudioDiffusionServer):
                 )
             except (ValueError, TypeError, json.JSONDecodeError) as e:
                 self._respond_json(400, {"error": str(e)})
+                return
+            except RuntimeError as e:  # "batcher is closed" during drain
+                self._respond_json(503, {"error": str(e)})
                 return
             try:
                 result = fut.result(timeout=server.request_timeout_s)

@@ -67,21 +67,24 @@ def main(argv=None):
                      server.batcher.tiers)
         server.batcher.warmup()
 
-    # Graceful drain on SIGTERM (orchestrators send it before SIGKILL):
-    # stop accepting, finish queued batches, then exit 0.
+    # Graceful drain on SIGTERM (orchestrators send it before SIGKILL).
+    # The handler only unblocks serve_forever (shutdown() must not run on the
+    # signal-handling main thread — it would deadlock waiting on itself); the
+    # DRAIN then runs synchronously on the main thread below, so the process
+    # cannot exit before queued batches finish and handlers respond.
     import signal
+    import threading
 
     def _term(signum, frame):
         logging.info("SIGTERM: draining in-flight requests and shutting down")
-        import threading
-
-        threading.Thread(target=server.stop, daemon=True).start()
+        threading.Thread(target=server.httpd.shutdown, daemon=True).start()
 
     signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
-        server.stop()
+        pass
+    server.stop()  # synchronous: drain batches, resolve futures, close sockets
     return 0
 
 

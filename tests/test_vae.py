@@ -245,3 +245,41 @@ def test_vae_config_roundtrip(tmp_path):
     cfg = tiny_vae_config()
     cfg.save_config(str(tmp_path))
     assert VAEConfig.from_pretrained(str(tmp_path)) == cfg
+
+
+def test_latent_batched_audio_input_batch_invariant():
+    """Batched per-sample raw_audio on a LATENT pipeline encodes to the
+    posterior MODE: a row's spectrogram is bit-identical whether it runs in
+    a batch of 1 or padded among others (the serving contract — a batch-
+    shaped posterior .sample() would give row i different noise per tier)."""
+    from audio_diffusion_tpu.mel import Mel
+    from audio_diffusion_tpu.models import UNet2D, UNetConfig
+    from audio_diffusion_tpu.pipelines import AudioDiffusionPipeline
+    from audio_diffusion_tpu.schedulers import DDIMScheduler
+
+    import numpy as np
+
+    vae = AutoencoderKL(tiny_vae_config(latent_channels=1))
+    vae_params = vae.init_params(jax.random.key(0), sample_hw=(16, 16))
+    unet_cfg = UNetConfig(
+        sample_size=(8, 8), in_channels=1, out_channels=1,
+        block_out_channels=(8, 16),
+        down_block_types=("DownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "UpBlock2D"),
+        layers_per_block=1, norm_num_groups=4,
+    )
+    unet = UNet2D(unet_cfg)
+    mel = Mel(x_res=16, y_res=16, hop_length=512, n_iter=2)
+    pipe = AudioDiffusionPipeline(unet, unet.init_params(jax.random.key(1)), mel,
+                                  DDIMScheduler(), vqvae=vae, vqvae_params=vae_params)
+
+    rng = np.random.default_rng(0)
+    rows = (rng.standard_normal((3, 16 * 512)) * 0.1).astype(np.float32)
+    noise = np.asarray(jax.random.normal(jax.random.key(9), (3, 8, 8, 1)))
+
+    batched = pipe(raw_audio=rows, noise=noise, start_step=2, steps=4,
+                   return_images_only=True)
+    for i in range(3):
+        solo = pipe(raw_audio=rows[i : i + 1], noise=noise[i : i + 1],
+                    start_step=2, steps=4, return_images_only=True)
+        np.testing.assert_array_equal(batched[i], solo[0])
