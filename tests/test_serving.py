@@ -362,3 +362,35 @@ def test_http_audio_to_audio(pipe):
             assert wav.getnframes() == (RES - 1) * HOP
     finally:
         server.stop()
+
+
+def test_http_wav_and_json_paths_return_identical_pcm(pipe):
+    """The wav container's frames and the json path's pcm16_base64 are the
+    SAME device-quantized samples (no second normalize/quantize pass), and a
+    non-object JSON body 400s instead of killing the handler."""
+    import base64
+
+    server = AudioDiffusionServer(pipe, port=0, max_batch=2, max_wait_ms=10, steps=2)
+    server.start()
+    host, port = server.address[:2]
+    try:
+        def post(payload):
+            conn = http.client.HTTPConnection(host, port, timeout=300)
+            conn.request("POST", "/generate", payload, {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            data = resp.read()
+            conn.close()
+            return resp, data
+
+        resp_wav, wav_data = post(json.dumps({"seed": 12}))
+        resp_json, json_data = post(json.dumps({"seed": 12, "format": "json"}))
+        assert resp_wav.status == 200 and resp_json.status == 200
+        with wave.open(io.BytesIO(wav_data)) as w:
+            frames = w.readframes(w.getnframes())
+        pcm = base64.b64decode(json.loads(json_data)["pcm16_base64"])
+        assert frames == pcm, "wav and json must deliver identical samples"
+
+        resp, data = post(json.dumps([1, 2, 3]))
+        assert resp.status == 400 and b"JSON object" in data
+    finally:
+        server.stop()
