@@ -394,3 +394,33 @@ def test_http_wav_and_json_paths_return_identical_pcm(pipe):
         assert resp.status == 400 and b"JSON object" in data
     finally:
         server.stop()
+
+
+def test_sharded_audio_to_audio_over_mesh(pipe):
+    """Style-transfer requests over an 8-device mesh: per-sample inputs shard
+    with the batch and results stay bit-identical to the unsharded run."""
+    from audio_diffusion_tpu.parallel.mesh import make_mesh
+
+    full = RES * HOP
+    clips = (np.random.default_rng(3).standard_normal((2, full)) * 0.1).astype(np.float32)
+    noise = np.stack([_noise_for_seed(s, RES, RES, 1) for s in (0, 1)])
+    direct_raw, _ = pipe(raw_audio=clips, noise=noise, start_step=2, steps=4,
+                         return_arrays=True)
+    direct = np.asarray(direct_raw)
+
+    cfg = pipe.unet.config
+    unet = UNet2D(cfg)
+    sharded = AudioDiffusionPipeline(
+        unet, unet.init_params(jax.random.key(0)),
+        Mel(x_res=RES, y_res=RES, hop_length=HOP),
+        DDIMScheduler(SchedulerConfig(num_train_timesteps=100)),
+    ).shard(make_mesh(num_data=8))
+    batcher = DynamicBatcher(sharded, max_batch=8, max_wait_ms=300, steps=4,
+                             allowed_start_steps=(2,))
+    try:
+        futs = [batcher.submit(seed=s, audio=clips[s], start_step=2) for s in (0, 1)]
+        results = [f.result(timeout=180) for f in futs]
+    finally:
+        batcher.close()
+    for i in (0, 1):
+        np.testing.assert_array_equal(results[i].image, direct[i])
