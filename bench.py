@@ -33,6 +33,38 @@ from audio_diffusion_tpu.utils.compile_cache import enable_persistent_cache
 enable_persistent_cache()
 
 import jax
+
+
+def _backend_watchdog(timeout_s: float = None):
+    """Fail loudly if backend init hangs (the axon relay tunnel has been
+    observed down for hours — jax.devices() then blocks forever; see
+    CLAUDE.md). A hung bench is worse than a failed one: the caller gets no
+    JSON and no exit code. The watchdog thread exits the process with a
+    diagnostic once the deadline passes; it is cancelled the moment device
+    init succeeds."""
+    import os
+    import threading
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", 600))
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "error": f"TPU backend init did not complete within {timeout_s:.0f}s "
+                         "— the axon relay tunnel is likely down (CLAUDE.md "
+                         "'Environment gotchas'); no measurement was taken",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    jax.devices()  # blocks here if the tunnel is down
+    done.set()
+
+
+_backend_watchdog()
+
 import numpy as np
 
 from audio_diffusion_tpu.mel import Mel
