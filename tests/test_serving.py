@@ -85,7 +85,7 @@ def test_solo_equals_batched_bitwise(pipe):
 
 def test_concurrent_requests_share_one_batch(pipe):
     counting = CountingPipe(pipe)
-    batcher = DynamicBatcher(counting, max_batch=4, max_wait_ms=300, steps=2)
+    batcher = DynamicBatcher(counting, max_batch=4, max_wait_ms=1500, steps=2)
     try:
         batcher.submit(seed=0).result(timeout=120)  # also compiles tier 1
         futs = [batcher.submit(seed=s) for s in range(4)]
@@ -117,7 +117,7 @@ def test_explicit_default_steps_shares_the_group(pipe):
     """{"steps": <the default>} and steps omitted are the same compiled
     program and must share one batch."""
     counting = CountingPipe(pipe)
-    batcher = DynamicBatcher(counting, max_batch=4, max_wait_ms=300, steps=2)
+    batcher = DynamicBatcher(counting, max_batch=4, max_wait_ms=1500, steps=2)
     try:
         f1 = batcher.submit(seed=0)
         f2 = batcher.submit(seed=1, steps=2)
