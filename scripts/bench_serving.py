@@ -29,6 +29,8 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--seconds", type=float, default=20.0, help="measurement window")
     p.add_argument("--dtype", type=str, default=None, choices=["float32", "bfloat16"])
+    p.add_argument("--mesh_data", type=int, default=None,
+                   help="shard serving over N devices (tiers become multiples of N)")
     return p.parse_args(argv)
 
 
@@ -39,6 +41,10 @@ def main(argv=None):
     from audio_diffusion_tpu.serving import DynamicBatcher
 
     pipe = AudioDiffusionPipeline.from_pretrained(a.model, dtype=a.dtype)
+    if a.mesh_data is not None:
+        from audio_diffusion_tpu.parallel.mesh import make_mesh
+
+        pipe.shard(make_mesh(num_data=a.mesh_data))
     batcher = DynamicBatcher(pipe, max_batch=a.max_batch,
                              max_wait_ms=a.max_wait_ms, steps=a.steps, pcm16=True)
     print(f"warming up tiers {batcher.tiers}...", flush=True)
