@@ -123,6 +123,18 @@ class AudioDiffusionPipeline:
         return self.vqvae is not None
 
     # ----------------------------------------------------------- compiled core
+    def _vae_encode_mode(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Deterministic latent encode (posterior mode, LATENT_SCALE applied)
+        — shared by DDIM inversion and the batched per-sample input path,
+        both of which require batch-composition-independent results."""
+        if "vae_encode_mode" not in self._compiled:
+            self._compiled["vae_encode_mode"] = jax.jit(
+                lambda p, z: LATENT_SCALE * self.vqvae.apply(
+                    {"params": p}, z, method=self.vqvae.encode
+                ).mode()
+            )
+        return self._compiled["vae_encode_mode"](self.vqvae_params, x)
+
     def _denoise_fn(self, steps: int, start_step: int, eta: float, mask_start: int, mask_end: int,
                     has_input: bool, has_encoding: bool):
         """Build (and cache) the jitted scan for one static configuration."""
@@ -268,13 +280,7 @@ class AudioDiffusionPipeline:
                     # the posterior MODE (deterministic; the batch-shaped
                     # .sample(key) would give row i different noise per tier —
                     # same reasoning as encode()'s inversion path).
-                    if "vae_encode_mode" not in self._compiled:
-                        self._compiled["vae_encode_mode"] = jax.jit(
-                            lambda p, x: LATENT_SCALE * self.vqvae.apply(
-                                {"params": p}, x, method=self.vqvae.encode
-                            ).mode()
-                        )
-                    input_images = self._compiled["vae_encode_mode"](self.vqvae_params, input_images)
+                    input_images = self._vae_encode_mode(input_images)
                 else:
                     # Reference semantics: sample the posterior (pipeline:143-147).
                     if "vae_encode" not in self._compiled:
@@ -394,13 +400,7 @@ class AudioDiffusionPipeline:
         sample = sample[..., None]  # NHWC
 
         if self.is_latent:
-            if "vae_encode_mode" not in self._compiled:
-                self._compiled["vae_encode_mode"] = jax.jit(
-                    lambda p, x: LATENT_SCALE * self.vqvae.apply(
-                        {"params": p}, x, method=self.vqvae.encode
-                    ).mode()
-                )
-            sample = self._compiled["vae_encode_mode"](self.vqvae_params, sample)
+            sample = self._vae_encode_mode(sample)
 
         cache_key = ("encode", steps)
         if cache_key not in self._compiled:

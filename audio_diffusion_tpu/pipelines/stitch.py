@@ -152,16 +152,17 @@ def _remix_parallel(pipe, track_audio, start_step, overlap_secs, steps, key, eta
         windows = np.concatenate([windows, np.zeros((n_pad - n, slice_size), np.float32)])
     noise = jnp.tile(noise1, (n_pad, 1, 1, 1))
 
-    _, (_, audios) = pipe(
+    _, audios_dev = pipe(
         raw_audio=windows,
         start_step=start_step,
         steps=steps,
         noise=noise,
         step_key=key,
         eta=eta,
-        return_dict=False,
+        return_arrays=True,  # slice off pad rows ON DEVICE; never pull the
+        # unused spectrograms/pad audio through the thin D2H link
     )
-    audios = [np.asarray(a) for a in audios[:n]]
+    audios = list(np.asarray(audios_dev[:n]))
 
     out = audios[0]
     fade_in = np.linspace(0.0, 1.0, overlap_samples, dtype=np.float32) if overlap_samples else None

@@ -204,7 +204,14 @@ def make_server(
 
     pipe = AudioDiffusionPipeline.from_pretrained(model_dir, dtype=dtype)
     if mesh_data is not None:
+        import jax
+        import numpy as np
+
         from ..parallel.mesh import make_mesh
 
-        pipe.shard(make_mesh(num_data=mesh_data))
+        # Subset the devices explicitly: make_mesh defaults to ALL devices
+        # and asserts the mesh covers them, so mesh_data < device_count
+        # would otherwise crash at startup.
+        devices = np.asarray(jax.devices())[:mesh_data]
+        pipe.shard(make_mesh(num_data=mesh_data, devices=devices))
     return AudioDiffusionServer(pipe, **kw)

@@ -98,8 +98,10 @@ def ensure_repo(
         if repo_id is None:
             name = os.path.basename(os.path.normpath(output_dir))
             repo_id = f"{api.whoami()['name']}/{name}"
-        api.create_repo(repo_id, private=private, exist_ok=True)
-        return repo_id
+        # Return the id the Hub ACTUALLY created: a bare name like "myrepo"
+        # is created under the token's namespace as "user/myrepo", and pushes
+        # against the bare name would 404.
+        return api.create_repo(repo_id, private=private, exist_ok=True).repo_id
     except Exception as e:
         raise RuntimeError(
             f"push_to_hub is enabled but the Hub repo {repo_id or output_dir!r} "

@@ -63,8 +63,6 @@ def _backend_watchdog(timeout_s: float = None):
     done.set()
 
 
-_backend_watchdog()
-
 import numpy as np
 
 from audio_diffusion_tpu.mel import Mel
@@ -123,6 +121,9 @@ def main(argv=None):
                         "latent model from scripts/rebuild_latent256.sh) instead "
                         "of random-init weights")
     args = p.parse_args(argv)
+    # After argument parsing, so --help / bad flags never touch (or hang on)
+    # the TPU backend.
+    _backend_watchdog()
     if args.batch is None:
         args.batch = 16 if (args.pixel or args.quick) else 32
     if args.latency:

@@ -42,9 +42,14 @@ def main(argv=None):
 
     pipe = AudioDiffusionPipeline.from_pretrained(a.model, dtype=a.dtype)
     if a.mesh_data is not None:
+        import jax
+
+        import numpy as np
+
         from audio_diffusion_tpu.parallel.mesh import make_mesh
 
-        pipe.shard(make_mesh(num_data=a.mesh_data))
+        devices = np.asarray(jax.devices())[: a.mesh_data]
+        pipe.shard(make_mesh(num_data=a.mesh_data, devices=devices))
     batcher = DynamicBatcher(pipe, max_batch=a.max_batch,
                              max_wait_ms=a.max_wait_ms, steps=a.steps, pcm16=True)
     print(f"warming up tiers {batcher.tiers}...", flush=True)

@@ -103,6 +103,10 @@ class FakeHfApi:
         if FakeHfApi.fail_create:
             raise ConnectionError("no egress")
         FakeHfApi.log.append(("create_repo", repo_id, private, self.token))
+        # Like the real API: a bare name resolves under the token's namespace,
+        # and the RepoUrl's repo_id is the full id pushes must target.
+        full = repo_id if "/" in repo_id else f"{self.whoami()['name']}/{repo_id}"
+        return type("RepoUrl", (), {"repo_id": full})()
 
     def upload_folder(self, folder_path, repo_id, commit_message, ignore_patterns=None):
         # Snapshot what is actually uploadable at push time: the pipeline must
@@ -112,6 +116,18 @@ class FakeHfApi:
              tuple(ignore_patterns or ()),
              os.path.exists(os.path.join(folder_path, "model_index.json")))
         )
+
+
+def test_ensure_repo_returns_namespaced_id(monkeypatch):
+    """A bare --hub_model_id like 'myrepo' is created under the token's
+    namespace; pushes must target THAT id, not the bare name (which 404s)."""
+    from audio_diffusion_tpu.utils.hub import ensure_repo
+
+    monkeypatch.setattr("huggingface_hub.HfApi", FakeHfApi)
+    FakeHfApi.log, FakeHfApi.fail_create = [], False
+    assert ensure_repo("myrepo", "out") == "testuser/myrepo"
+    assert ensure_repo("org/myrepo", "out") == "org/myrepo"
+    assert ensure_repo(None, "runs/mymodel") == "testuser/mymodel"
 
 
 @pytest.fixture
