@@ -7,9 +7,12 @@ discriminator, weight 0.5, starting at step 50001). This module rebuilds that
 recipe as two jitted SPMD steps (generator/discriminator alternation, like the
 lightning ``optimizer_idx`` switch):
 
-* reconstruction: L1 + a multi-scale pyramid L1 as the perceptual term. LPIPS
-  proper needs pretrained VGG features, which cannot be fetched in a zero-egress
-  build; the pyramid term is the documented substitute and is configurable.
+* reconstruction: L1 + a perceptual term. LPIPS proper needs pretrained VGG
+  features, which cannot be fetched in a zero-egress build; two substitutes are
+  configurable via ``perceptual_kind``: a multi-scale pyramid L1 (``"pyramid"``,
+  the default) and the LPIPS formula over fixed random VGG-style features
+  (``"lpips_rf"``, see ``training/perceptual.py`` — the closest implementable
+  equivalent of the reference's LPIPS term);
 * NLL scaling by a learned global ``logvar`` (CompVis trick);
 * KL regularization (weight 1e-6);
 * PatchGAN discriminator (4x4 convs, stride-2 pyramid) with hinge loss;
@@ -40,6 +43,10 @@ class VAETrainConfig:
     disc_start: int = 50001
     pixel_weight: float = 1.0
     perceptual_weight: float = 1.0
+    # "pyramid" (avg-pool pyramid L1), "lpips_rf" (LPIPS over fixed random
+    # conv features, perceptual.py), or "none".
+    perceptual_kind: str = "pyramid"
+    perceptual_seed: int = 7
     disc_channels: int = 64
     disc_layers: int = 3
     adam_beta1: float = 0.5
@@ -113,17 +120,35 @@ def make_vae_train_steps(cfg: VAETrainConfig, vae, disc: PatchDiscriminator):
     g_opt = optax.adam(cfg.learning_rate, b1=cfg.adam_beta1, b2=cfg.adam_beta2)
     d_opt = optax.adam(cfg.learning_rate, b1=cfg.adam_beta1, b2=cfg.adam_beta2)
 
+    if cfg.perceptual_kind not in ("pyramid", "lpips_rf", "none"):
+        raise ValueError(
+            f"perceptual_kind={cfg.perceptual_kind!r}: expected 'pyramid' "
+            "(avg-pool pyramid L1), 'lpips_rf' (LPIPS over fixed random conv "
+            "features), or 'none'"
+        )
+    use_lpips = cfg.perceptual_weight > 0 and cfg.perceptual_kind == "lpips_rf"
+    if use_lpips:
+        from .perceptual import init_perceptual_params, perceptual_distance
+
+        # ~15 MB of fixed feature kernels: passed as a jit ARGUMENT below, not
+        # closed over (closure constants get baked into the uploaded HLO).
+        pcpt_params = init_perceptual_params(
+            jax.random.key(cfg.perceptual_seed), vae.config.in_channels
+        )
+    else:
+        pcpt_params = None
+
     def reconstruct(vae_params, images, key):
         rec, posterior = vae.apply({"params": vae_params}, images, key)
         return rec, posterior
 
-    def nll_and_parts(params, images, key):
+    def nll_and_parts(params, images, key, pcpt):
         rec, posterior = reconstruct(params["vae"], images, key)
-        rec_loss = cfg.pixel_weight * jnp.abs(images - rec)
-        if cfg.perceptual_weight > 0:
-            rec_loss = jnp.mean(rec_loss) + cfg.perceptual_weight * pyramid_l1(images, rec)
-        else:
-            rec_loss = jnp.mean(rec_loss)
+        rec_loss = cfg.pixel_weight * jnp.mean(jnp.abs(images - rec))
+        if use_lpips:
+            rec_loss = rec_loss + cfg.perceptual_weight * perceptual_distance(pcpt, images, rec)
+        elif cfg.perceptual_weight > 0 and cfg.perceptual_kind == "pyramid":
+            rec_loss = rec_loss + cfg.perceptual_weight * pyramid_l1(images, rec)
         nll = rec_loss / jnp.exp(params["logvar"]) + params["logvar"]
         kl = jnp.mean(posterior.kl())
         return nll, kl, rec
@@ -137,7 +162,7 @@ def make_vae_train_steps(cfg: VAETrainConfig, vae, disc: PatchDiscriminator):
         """Accept (B, H, W, C) or (accum, micro, H, W, C); return 5-D."""
         return images[None] if images.ndim == 4 else images
 
-    def _gen_grads(state, images, key, disc_factor):
+    def _gen_grads(state, images, key, disc_factor, pcpt):
         # CompVis adaptive weight: ||grad_last(nll)|| / ||grad_last(g_loss)||.
         # One linearization at the final decoder kernel yields both gradient
         # norms via two cheap pullbacks (the backward only spans conv_out ->
@@ -146,7 +171,7 @@ def make_vae_train_steps(cfg: VAETrainConfig, vae, disc: PatchDiscriminator):
 
         def heads_of_last(w):
             p = {**state.params, "vae": _replace_last(state.params["vae"], w)}
-            nll, kl, rec = nll_and_parts(p, images, key)
+            nll, kl, rec = nll_and_parts(p, images, key, pcpt)
             g = -jnp.mean(disc.apply({"params": state.disc_params}, rec))
             return jnp.stack([nll, g])
 
@@ -157,14 +182,14 @@ def make_vae_train_steps(cfg: VAETrainConfig, vae, disc: PatchDiscriminator):
         d_weight = jnp.clip(d_weight, 0.0, 1e4) * cfg.disc_weight
 
         def loss_fn(params):
-            nll, kl, rec = nll_and_parts(params, images, key)
+            nll, kl, rec = nll_and_parts(params, images, key, pcpt)
             g_loss = -jnp.mean(disc.apply({"params": state.disc_params}, rec))
             total = nll + cfg.kl_weight * kl + d_weight * disc_factor * g_loss
             return total, {"nll": nll, "kl": kl, "g_loss": g_loss, "d_weight": d_weight}
 
         return jax.value_and_grad(loss_fn, has_aux=True)(state.params)
 
-    def gen_step(state: VAETrainState, images, key):
+    def gen_step(state: VAETrainState, images, key, pcpt):
         """One generator update; ``images`` may carry a leading accumulation
         axis (accum, micro, H, W, C) — gradients average over microbatches
         sequentially (lightning's accumulate_grad_batches semantics)."""
@@ -175,7 +200,7 @@ def make_vae_train_steps(cfg: VAETrainConfig, vae, disc: PatchDiscriminator):
 
         def micro(acc, inp):
             img, k = inp
-            (loss, parts), grads = _gen_grads(state, img, k, disc_factor)
+            (loss, parts), grads = _gen_grads(state, img, k, disc_factor, pcpt)
             acc_loss, acc_parts, acc_grads = acc
             return (
                 acc_loss + loss,
@@ -232,4 +257,9 @@ def make_vae_train_steps(cfg: VAETrainConfig, vae, disc: PatchDiscriminator):
         new_state = state.replace(step=state.step + 1, disc_params=disc_params, disc_opt_state=opt_state)
         return new_state, {"disc_loss": d_loss}
 
-    return jax.jit(gen_step, donate_argnums=(0,)), jax.jit(disc_step, donate_argnums=(0,))
+    gen_jit = jax.jit(gen_step, donate_argnums=(0,))
+
+    def gen_step_public(state: VAETrainState, images, key):
+        return gen_jit(state, images, key, pcpt_params)
+
+    return gen_step_public, jax.jit(disc_step, donate_argnums=(0,))

@@ -42,6 +42,11 @@ def main(argv=None):
     p.add_argument("--disc_weight", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mixed_precision", type=str, default="no", choices=["no", "bf16"])
+    p.add_argument("--perceptual", type=str, default="pyramid",
+                   choices=["pyramid", "lpips_rf", "none"],
+                   help="perceptual reconstruction term: avg-pool pyramid L1, "
+                        "LPIPS over fixed random conv features, or none")
+    p.add_argument("--perceptual_weight", type=float, default=1.0)
     a = p.parse_args(argv)
 
     from flax import serialization
@@ -72,7 +77,9 @@ def main(argv=None):
     # CompVis scales the base LR by accum * batch (train_vae.py heritage).
     lr = a.learning_rate * a.gradient_accumulation_steps * a.batch_size
     cfg = VAETrainConfig(learning_rate=lr, disc_start=a.disc_start,
-                         kl_weight=a.kl_weight, disc_weight=a.disc_weight)
+                         kl_weight=a.kl_weight, disc_weight=a.disc_weight,
+                         perceptual_kind=a.perceptual,
+                         perceptual_weight=a.perceptual_weight)
     state, disc = init_vae_train_state(cfg, vae, vae_params, resolution)
     gen_step, disc_step = make_vae_train_steps(cfg, vae, disc)
 

@@ -140,3 +140,83 @@ def test_bf16_vae_training_steps():
     state, dm = disc_step(state, images, jax.random.key(2))
     assert np.isfinite(float(gm["loss"])) and np.isfinite(float(gm["d_weight"]))
     assert np.isfinite(float(dm["disc_loss"]))
+
+
+def test_perceptual_distance_properties():
+    """LPIPS-over-random-features metric basics: identity, symmetry, gradient."""
+    from audio_diffusion_tpu.training.perceptual import (
+        init_perceptual_params,
+        perceptual_distance,
+    )
+
+    pcpt = init_perceptual_params(jax.random.key(7))
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32))
+    assert float(perceptual_distance(pcpt, a, a)) < 1e-6
+    d_ab, d_ba = float(perceptual_distance(pcpt, a, b)), float(perceptual_distance(pcpt, b, a))
+    assert d_ab > 0.01 and abs(d_ab - d_ba) < 1e-5
+    g = jax.grad(lambda x: perceptual_distance(pcpt, x, b))(a)
+    assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
+def test_perceptual_distance_prefers_structure_over_noise():
+    """The point of a perceptual term (reference: LPIPS in
+    ldm_autoencoder_kl.yaml:10-16): a mild blur (structure-preserving) must
+    score closer than i.i.d. noise of the SAME pixel-space L1 — plain L1
+    cannot make that distinction by construction."""
+    from audio_diffusion_tpu.training.perceptual import (
+        init_perceptual_params,
+        perceptual_distance,
+    )
+
+    pcpt = init_perceptual_params(jax.random.key(7))
+    rng = np.random.default_rng(3)
+    # structured image: smooth low-frequency field
+    yy, xx = np.mgrid[0:64, 0:64] / 64.0
+    base = np.sin(6 * yy) * np.cos(4 * xx) + 0.3 * np.sin(15 * xx)
+    x = jnp.asarray(base[None, :, :, None].astype(np.float32))
+    # blur: 3x3 box filter
+    from jax import lax
+    k = jnp.ones((3, 3, 1, 1), jnp.float32) / 9.0
+    blurred = lax.conv_general_dilated(x, k, (1, 1), "SAME",
+                                       dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    l1_blur = float(jnp.mean(jnp.abs(x - blurred)))
+    noise = rng.normal(0, 1, x.shape).astype(np.float32)
+    noise *= l1_blur / np.mean(np.abs(noise))  # match the pixel L1 exactly
+    noisy = x + jnp.asarray(noise)
+    assert abs(float(jnp.mean(jnp.abs(x - noisy))) - l1_blur) / l1_blur < 0.05
+    d_blur = float(perceptual_distance(pcpt, x, blurred))
+    d_noise = float(perceptual_distance(pcpt, x, noisy))
+    assert d_blur < 0.5 * d_noise, (d_blur, d_noise)
+
+
+def test_gen_step_with_lpips_rf_perceptual():
+    """gen_step traces and updates with perceptual_kind='lpips_rf'; the
+    feature params ride as a jit argument (not HLO constants)."""
+    vae_cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                        latent_channels=1, sample_size=16, norm_num_groups=4)
+    vae = AutoencoderKL(vae_cfg)
+    vae_params = vae.init_params(jax.random.key(0), sample_hw=(16, 16))
+    cfg = VAETrainConfig(learning_rate=1e-3, disc_start=10**9, disc_channels=8,
+                         disc_layers=2, perceptual_kind="lpips_rf")
+    state, disc = init_vae_train_state(cfg, vae, vae_params, (16, 16))
+    gen_step, _ = make_vae_train_steps(cfg, vae, disc)
+
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 1)).astype(np.float32))
+    before = jax.tree_util.tree_leaves(state.params["vae"])[0].copy()
+    state, m = gen_step(state, images, jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
+    after = jax.tree_util.tree_leaves(state.params["vae"])[0]
+    assert float(jnp.max(jnp.abs(after - before))) > 0.0
+
+
+def test_perceptual_kind_validated():
+    vae_cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                        latent_channels=1, sample_size=16, norm_num_groups=4)
+    vae = AutoencoderKL(vae_cfg)
+    cfg = VAETrainConfig(perceptual_kind="vgg16")
+    disc = PatchDiscriminator(base_channels=8, n_layers=2)
+    with pytest.raises(ValueError, match="perceptual_kind"):
+        make_vae_train_steps(cfg, vae, disc)
