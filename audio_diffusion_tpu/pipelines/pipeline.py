@@ -94,6 +94,9 @@ class AudioDiffusionPipeline:
         self.vqvae_params = jax.device_put(vqvae_params) if vqvae_params is not None else None
         self._compiled = {}
         self.mesh = None
+        # Route eligible calls through the single fused device program
+        # (_fused_generate_fn). Escape hatch for A/B parity tests.
+        self.fuse = True
 
     def shard(self, mesh) -> "AudioDiffusionPipeline":
         """Distribute inference over a device mesh: parameters replicate,
@@ -178,6 +181,93 @@ class AudioDiffusionPipeline:
         self._compiled[cache_key] = fn
         return fn
 
+    def _validate_encoding(self, encoding, batch_rows: int):
+        """Validate/normalize a conditioning encoding to (B, seq, dim); raises
+        with actionable messages (shared by the fused and staged paths)."""
+        if encoding is None:
+            return None
+        if not self.unet.config.is_conditional:
+            raise ValueError(
+                "encoding= was passed but this pipeline's UNet is unconditional "
+                "(config.cross_attention_dim is None) — the conditioning would be "
+                "silently ignored. Load a conditional model or drop encoding=.")
+        enc = jnp.asarray(encoding, dtype=jnp.float32)
+        if enc.ndim == 2:
+            # (B, dim) — AudioEncoder's pooled output — promotes to a
+            # length-1 cross-attention sequence, matching the training
+            # batcher (data/dataset.py) and the reference workflow
+            # (encodings pickled per-file, train_unet.py:85-87).
+            enc = enc[:, None, :]
+        want = self.unet.config.cross_attention_dim
+        if enc.ndim != 3 or enc.shape[-1] != want:
+            raise ValueError(
+                f"encoding must be (batch, seq, {want}) [or (batch, {want})], "
+                f"got shape {tuple(enc.shape)} — the last axis must equal the "
+                f"UNet's cross_attention_dim ({want}).")
+        # The effective batch is the noise's leading axis (user-supplied
+        # noise= overrides batch_size, e.g. the encode()->slerp workflow).
+        if enc.shape[0] != batch_rows:
+            raise ValueError(
+                f"encoding batch axis ({enc.shape[0]}) must equal the "
+                f"generation batch ({batch_rows}).")
+        return enc
+
+    def _fused_generate_fn(self, steps: int, eta: float, batch_size: int,
+                           has_encoding: bool, gen_noise: bool, derive_step_key: bool,
+                           pcm16: bool):
+        """ONE compiled program for the whole serving hot path: [noise gen +]
+        denoise scan + VAE decode + uint8 postprocess + NNLS/Griffin-Lim +
+        [pcm16]. The staged path dispatches ~6 programs per generation; each
+        dispatch is an RPC through the remote-device tunnel, and under tunnel
+        congestion those gaps starve the chip (observed 25-40%% end-to-end
+        swings on identical commands). Fusing to one execution per batch makes
+        throughput insensitive to dispatch latency and lets XLA schedule the
+        stages without host round-trips. Math is identical to the staged path
+        (the inner jitted fns are traced inline), including the exact
+        key-split order of __call__: spectrograms measure bit-equal; audio is
+        within 1 int16 LSB (fusion changes f32 reduction order — see
+        tests/test_pipeline.py::test_fused_path_matches_staged_bitwise)."""
+        cache_key = ("fused", steps, eta, batch_size, has_encoding, gen_noise,
+                     derive_step_key, pcm16)
+        if cache_key in self._compiled:
+            return self._compiled[cache_key]
+
+        denoise = self._denoise_fn(steps, 0, eta, 0, 0, False, has_encoding)
+        h, w = self.sample_hw
+        in_ch = self.unet.config.in_channels
+        mel, vqvae, is_latent = self.mel, self.vqvae, self.is_latent
+        length = (mel.x_res - 1) * mel.hop_length
+        out_sharding = None
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            out_sharding = batch_sharding(self.mesh, 4)
+
+        def run(unet_params, vae_params, noise, enc, key, step_key):
+            # Same split order as __call__ — bit-parity with the staged path.
+            key, noise_key, _vae_key, gl_key = jax.random.split(key, 4)
+            if gen_noise:
+                noise = jax.random.normal(noise_key, (batch_size, h, w, in_ch),
+                                          dtype=jnp.float32)
+                if out_sharding is not None:
+                    noise = jax.lax.with_sharding_constraint(noise, out_sharding)
+            if derive_step_key:
+                step_key = key
+            images = denoise(unet_params, noise, noise, noise, enc, step_key)
+            if is_latent:
+                images = vqvae.apply({"params": vae_params}, images / LATENT_SCALE,
+                                     method=vqvae.decode)
+            raw = postprocess_images(images)
+            audio = mel._inverse(raw, gl_key, length)
+            if pcm16:
+                peak = jnp.maximum(jnp.max(jnp.abs(audio), axis=-1, keepdims=True), 1e-12)
+                audio = jnp.clip(audio / peak * 32767.0, -32768, 32767).astype(jnp.int16)
+            return raw, audio
+
+        fn = jax.jit(run)
+        self._compiled[cache_key] = fn
+        return fn
+
     # -------------------------------------------------------------- generation
     def __call__(
         self,
@@ -206,11 +296,47 @@ class AudioDiffusionPipeline:
         """
         steps = steps or self.get_default_steps()
         key = key if key is not None else jax.random.key(0)
-        key, noise_key, vae_key, gl_key = jax.random.split(key, 4)
-        step_key = step_key if step_key is not None else key
 
         h, w = self.sample_hw
         in_ch = self.unet.config.in_channels
+
+        # Fused fast path — the pure-generation shape (no input audio, no
+        # partial start, full outputs wanted) runs as ONE device program per
+        # batch: see _fused_generate_fn. Same math/keys as the staged path.
+        if (self.fuse and audio_file is None and raw_audio is None
+                and start_step == 0 and not return_images_only):
+            gen_noise = noise is None
+            if gen_noise:
+                eff_batch = batch_size
+                noise_arg = jnp.zeros((), jnp.float32)  # placeholder, unused
+            else:
+                noise_arg = jnp.asarray(noise, dtype=jnp.float32)
+                if noise_arg.shape[-1] != in_ch and noise_arg.shape[1] == in_ch:
+                    noise_arg = jnp.transpose(noise_arg, (0, 2, 3, 1))  # NCHW compat
+                if self.mesh is not None:
+                    from ..parallel.mesh import batch_sharding
+
+                    noise_arg = jax.device_put(
+                        noise_arg, batch_sharding(self.mesh, noise_arg.ndim))
+                eff_batch = noise_arg.shape[0]
+            enc = self._validate_encoding(encoding, eff_batch)
+            fn = self._fused_generate_fn(steps, float(eta), eff_batch,
+                                         enc is not None, gen_noise,
+                                         step_key is None, pcm16)
+            raw_dev, audios_dev = fn(
+                self.unet_params, self.vqvae_params, noise_arg, enc, key,
+                step_key if step_key is not None else key)
+            if return_arrays:
+                return raw_dev, audios_dev
+            raw = np.asarray(raw_dev)
+            pil_images = [Image.fromarray(img) for img in raw]
+            audios = [a for a in np.asarray(audios_dev)]
+            if not return_dict:
+                return pil_images, (self.mel.get_sample_rate(), audios)
+            return PipelineOutput(pil_images, self.mel.get_sample_rate(), audios, raw)
+
+        key, noise_key, vae_key, gl_key = jax.random.split(key, 4)
+        step_key = step_key if step_key is not None else key
         if noise is None:
             # One fused jitted program (noise gen is otherwise a separate
             # dispatch + device sync on the hot path). Under a mesh the batch
@@ -304,32 +430,7 @@ class AudioDiffusionPipeline:
             mask_end = int(mask_end_secs * pixels_per_second)
 
         fn = self._denoise_fn(steps, start_step, float(eta), mask_start, mask_end, has_input, encoding is not None)
-        enc = None
-        if encoding is not None:
-            if not self.unet.config.is_conditional:
-                raise ValueError(
-                    "encoding= was passed but this pipeline's UNet is unconditional "
-                    "(config.cross_attention_dim is None) — the conditioning would be "
-                    "silently ignored. Load a conditional model or drop encoding=.")
-            enc = jnp.asarray(encoding, dtype=jnp.float32)
-            if enc.ndim == 2:
-                # (B, dim) — AudioEncoder's pooled output — promotes to a
-                # length-1 cross-attention sequence, matching the training
-                # batcher (data/dataset.py) and the reference workflow
-                # (encodings pickled per-file, train_unet.py:85-87).
-                enc = enc[:, None, :]
-            want = self.unet.config.cross_attention_dim
-            if enc.ndim != 3 or enc.shape[-1] != want:
-                raise ValueError(
-                    f"encoding must be (batch, seq, {want}) [or (batch, {want})], "
-                    f"got shape {tuple(enc.shape)} — the last axis must equal the "
-                    f"UNet's cross_attention_dim ({want}).")
-            # The effective batch is the noise's leading axis (user-supplied
-            # noise= overrides batch_size, e.g. the encode()->slerp workflow).
-            if enc.shape[0] != images.shape[0]:
-                raise ValueError(
-                    f"encoding batch axis ({enc.shape[0]}) must equal the "
-                    f"generation batch ({images.shape[0]}).")
+        enc = self._validate_encoding(encoding, images.shape[0])
         images = fn(self.unet_params, images, input_images, noise, enc, step_key)
 
         if self.is_latent:

@@ -328,6 +328,75 @@ def test_sharded_conditional_inference_over_mesh():
     np.testing.assert_array_equal(a, b)
 
 
+def test_fused_path_matches_staged_bitwise(ddim_pipe):
+    """The fused single-program serving path (pipe.fuse, default on) computes
+    the SAME math as the staged multi-dispatch path — same key split order,
+    traced from the same inner functions. Spectrograms must be BIT-identical
+    (the uint8 data contract); Griffin-Lim audio is allowed 1 int16 LSB —
+    fusing the GL scan into the larger program changes XLA's f32 reduction
+    order (float associativity), measured ±1 LSB on ~2% of samples. Covers
+    generated-noise + pcm16, user-supplied noise, and explicit step_key."""
+    raw_f, audio_f = ddim_pipe(batch_size=2, steps=3, key=jax.random.key(11),
+                               return_arrays=True, pcm16=True)
+    ddim_pipe.fuse = False
+    try:
+        raw_s, audio_s = ddim_pipe(batch_size=2, steps=3, key=jax.random.key(11),
+                                   return_arrays=True, pcm16=True)
+    finally:
+        ddim_pipe.fuse = True
+    np.testing.assert_array_equal(np.asarray(raw_f), np.asarray(raw_s))
+    np.testing.assert_allclose(np.asarray(audio_f), np.asarray(audio_s), atol=1)
+
+    # user noise + explicit step_key + eta
+    noise = np.asarray(jax.random.normal(jax.random.key(1), (2, RES, RES, 1)))
+    out_f = ddim_pipe(noise=noise, steps=3, key=jax.random.key(2),
+                      step_key=jax.random.key(3), eta=0.5)
+    ddim_pipe.fuse = False
+    try:
+        out_s = ddim_pipe(noise=noise, steps=3, key=jax.random.key(2),
+                          step_key=jax.random.key(3), eta=0.5)
+    finally:
+        ddim_pipe.fuse = True
+    np.testing.assert_array_equal(out_f.raw_images, out_s.raw_images)
+    for a, b in zip(out_f.audios, out_s.audios):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    # and the fused path must agree with return_images_only (always staged)
+    raw_only = ddim_pipe(batch_size=2, steps=3, key=jax.random.key(11),
+                         return_images_only=True)
+    np.testing.assert_array_equal(np.asarray(raw_f), raw_only)
+
+
+def test_fused_path_matches_staged_latent_conditional():
+    """Fused-vs-staged parity on the latent + cross-attention shape (the
+    benched/served configuration class)."""
+    from audio_diffusion_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    vae_cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                        latent_channels=1, sample_size=16, norm_num_groups=4)
+    vae = AutoencoderKL(vae_cfg)
+    vae_params = vae.init_params(jax.random.key(0), sample_hw=(RES, RES))
+    unet_cfg = UNetConfig(
+        sample_size=(8, 8), block_out_channels=(8, 16),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1, norm_num_groups=4, attention_head_dim=4,
+        cross_attention_dim=12)
+    unet = UNet2D(unet_cfg)
+    pipe = AudioDiffusionPipeline(unet, unet.init_params(jax.random.key(1)),
+                                  tiny_mel(), DDIMScheduler(),
+                                  vqvae=vae, vqvae_params=vae_params)
+    enc = np.asarray(jax.random.normal(jax.random.key(3), (2, 12)), np.float32)
+    raw_f, audio_f = pipe(batch_size=2, steps=3, key=jax.random.key(4),
+                          encoding=enc, return_arrays=True, pcm16=True)
+    pipe.fuse = False
+    raw_s, audio_s = pipe(batch_size=2, steps=3, key=jax.random.key(4),
+                          encoding=enc, return_arrays=True, pcm16=True)
+    np.testing.assert_array_equal(np.asarray(raw_f), np.asarray(raw_s))
+    # ±1 int16 LSB: XLA reduction-order drift from fusing GL into the program
+    np.testing.assert_allclose(np.asarray(audio_f), np.asarray(audio_s), atol=1)
+
+
 def test_batched_per_sample_audio_input(ddim_pipe):
     """(B, samples) raw_audio conditions each row on ITS OWN clip — bitwise
     equal to B separate single-input calls (the reference broadcasts one clip
