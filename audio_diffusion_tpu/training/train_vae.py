@@ -8,11 +8,13 @@ recipe as two jitted SPMD steps (generator/discriminator alternation, like the
 lightning ``optimizer_idx`` switch):
 
 * reconstruction: L1 + a perceptual term. LPIPS proper needs pretrained VGG
-  features, which cannot be fetched in a zero-egress build; two substitutes are
+  features, which cannot be fetched in a zero-egress build; substitutes are
   configurable via ``perceptual_kind``: a multi-scale pyramid L1 (``"pyramid"``,
-  the default) and the LPIPS formula over fixed random VGG-style features
-  (``"lpips_rf"``, see ``training/perceptual.py`` — the closest implementable
-  equivalent of the reference's LPIPS term);
+  the default), structural dissimilarity (``"ssim"`` — the option gated on the
+  perceptual property pixel losses lack: structure-preserving error scores
+  closer than equal-L1 i.i.d. noise), and the LPIPS formula over fixed random
+  VGG-style features (``"lpips_rf"``, see ``training/perceptual.py``; measured
+  NOT to have that property — its docstring has the numbers);
 * NLL scaling by a learned global ``logvar`` (CompVis trick);
 * KL regularization (weight 1e-6);
 * PatchGAN discriminator (4x4 convs, stride-2 pyramid) with hinge loss;
@@ -43,8 +45,11 @@ class VAETrainConfig:
     disc_start: int = 50001
     pixel_weight: float = 1.0
     perceptual_weight: float = 1.0
-    # "pyramid" (avg-pool pyramid L1), "lpips_rf" (LPIPS over fixed random
-    # conv features, perceptual.py), or "none".
+    # "pyramid" (avg-pool pyramid L1), "ssim" (structural dissimilarity,
+    # perceptual.dssim — the property-gated option: prefers structure-
+    # preserving error over i.i.d. noise, which pixel losses cannot),
+    # "lpips_rf" (LPIPS over fixed random conv features, perceptual.py;
+    # NOT structure-gated — see its module docstring), or "none".
     perceptual_kind: str = "pyramid"
     perceptual_seed: int = 7
     disc_channels: int = 64
@@ -120,11 +125,11 @@ def make_vae_train_steps(cfg: VAETrainConfig, vae, disc: PatchDiscriminator):
     g_opt = optax.adam(cfg.learning_rate, b1=cfg.adam_beta1, b2=cfg.adam_beta2)
     d_opt = optax.adam(cfg.learning_rate, b1=cfg.adam_beta1, b2=cfg.adam_beta2)
 
-    if cfg.perceptual_kind not in ("pyramid", "lpips_rf", "none"):
+    if cfg.perceptual_kind not in ("pyramid", "ssim", "lpips_rf", "none"):
         raise ValueError(
             f"perceptual_kind={cfg.perceptual_kind!r}: expected 'pyramid' "
-            "(avg-pool pyramid L1), 'lpips_rf' (LPIPS over fixed random conv "
-            "features), or 'none'"
+            "(avg-pool pyramid L1), 'ssim' (structural dissimilarity), "
+            "'lpips_rf' (LPIPS over fixed random conv features), or 'none'"
         )
     use_lpips = cfg.perceptual_weight > 0 and cfg.perceptual_kind == "lpips_rf"
     if use_lpips:
@@ -147,6 +152,10 @@ def make_vae_train_steps(cfg: VAETrainConfig, vae, disc: PatchDiscriminator):
         rec_loss = cfg.pixel_weight * jnp.mean(jnp.abs(images - rec))
         if use_lpips:
             rec_loss = rec_loss + cfg.perceptual_weight * perceptual_distance(pcpt, images, rec)
+        elif cfg.perceptual_weight > 0 and cfg.perceptual_kind == "ssim":
+            from .perceptual import dssim
+
+            rec_loss = rec_loss + cfg.perceptual_weight * dssim(images, rec)
         elif cfg.perceptual_weight > 0 and cfg.perceptual_kind == "pyramid":
             rec_loss = rec_loss + cfg.perceptual_weight * pyramid_l1(images, rec)
         nll = rec_loss / jnp.exp(params["logvar"]) + params["logvar"]

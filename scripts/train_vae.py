@@ -43,8 +43,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mixed_precision", type=str, default="no", choices=["no", "bf16"])
     p.add_argument("--perceptual", type=str, default="pyramid",
-                   choices=["pyramid", "lpips_rf", "none"],
+                   choices=["pyramid", "ssim", "lpips_rf", "none"],
                    help="perceptual reconstruction term: avg-pool pyramid L1, "
+                        "structural dissimilarity (the structure-gated option), "
                         "LPIPS over fixed random conv features, or none")
     p.add_argument("--perceptual_weight", type=float, default=1.0)
     a = p.parse_args(argv)

@@ -160,17 +160,37 @@ def test_perceptual_distance_properties():
     assert float(jnp.max(jnp.abs(g))) > 0.0
 
 
+def test_dssim_properties():
+    """SSIM distance basics: exact identity, exact symmetry, live gradient."""
+    from audio_diffusion_tpu.training.perceptual import dssim
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32))
+    # identity is ~0 but not bit-exact: XLA fuses the var and cov conv
+    # expressions into different computations, so f32 reduction order differs
+    # (measured 6e-8 on the CPU backend)
+    assert abs(float(dssim(a, a))) < 1e-6
+    d_ab, d_ba = float(dssim(a, b)), float(dssim(b, a))
+    assert d_ab > 0.01 and abs(d_ab - d_ba) < 1e-6
+    g = jax.grad(lambda x: dssim(x, b))(a)
+    assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
 def test_perceptual_distance_prefers_structure_over_noise():
     """The point of a perceptual term (reference: LPIPS in
     ldm_autoencoder_kl.yaml:10-16): a mild blur (structure-preserving) must
     score closer than i.i.d. noise of the SAME pixel-space L1 — plain L1
-    cannot make that distinction by construction."""
-    from audio_diffusion_tpu.training.perceptual import (
-        init_perceptual_params,
-        perceptual_distance,
-    )
+    cannot make that distinction by construction.
 
-    pcpt = init_perceptual_params(jax.random.key(7))
+    Gates ``perceptual_kind="ssim"`` (dssim): SSIM's structure term is local
+    correlation with the reference, which blur preserves and noise destroys.
+    The previously-gated random-feature LPIPS measurably LACKS this property
+    (r3 verdict; conv stacks average i.i.d. noise away with depth — d_blur/
+    d_noise ≈ 1.0 across widths/depths/bias variants, and NLPD behaved the
+    same), so it is no longer claimed or gated here."""
+    from audio_diffusion_tpu.training.perceptual import dssim
+
     rng = np.random.default_rng(3)
     # structured image: smooth low-frequency field
     yy, xx = np.mgrid[0:64, 0:64] / 64.0
@@ -186,8 +206,8 @@ def test_perceptual_distance_prefers_structure_over_noise():
     noise *= l1_blur / np.mean(np.abs(noise))  # match the pixel L1 exactly
     noisy = x + jnp.asarray(noise)
     assert abs(float(jnp.mean(jnp.abs(x - noisy))) - l1_blur) / l1_blur < 0.05
-    d_blur = float(perceptual_distance(pcpt, x, blurred))
-    d_noise = float(perceptual_distance(pcpt, x, noisy))
+    d_blur = float(dssim(x, blurred))
+    d_noise = float(dssim(x, noisy))
     assert d_blur < 0.5 * d_noise, (d_blur, d_noise)
 
 
@@ -200,6 +220,27 @@ def test_gen_step_with_lpips_rf_perceptual():
     vae_params = vae.init_params(jax.random.key(0), sample_hw=(16, 16))
     cfg = VAETrainConfig(learning_rate=1e-3, disc_start=10**9, disc_channels=8,
                          disc_layers=2, perceptual_kind="lpips_rf")
+    state, disc = init_vae_train_state(cfg, vae, vae_params, (16, 16))
+    gen_step, _ = make_vae_train_steps(cfg, vae, disc)
+
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 1)).astype(np.float32))
+    before = jax.tree_util.tree_leaves(state.params["vae"])[0].copy()
+    state, m = gen_step(state, images, jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
+    after = jax.tree_util.tree_leaves(state.params["vae"])[0]
+    assert float(jnp.max(jnp.abs(after - before))) > 0.0
+
+
+def test_gen_step_with_ssim_perceptual():
+    """gen_step traces and updates with perceptual_kind='ssim' (the
+    structure-gated perceptual option)."""
+    vae_cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                        latent_channels=1, sample_size=16, norm_num_groups=4)
+    vae = AutoencoderKL(vae_cfg)
+    vae_params = vae.init_params(jax.random.key(0), sample_hw=(16, 16))
+    cfg = VAETrainConfig(learning_rate=1e-3, disc_start=10**9, disc_channels=8,
+                         disc_layers=2, perceptual_kind="ssim")
     state, disc = init_vae_train_state(cfg, vae, vae_params, (16, 16))
     gen_step, _ = make_vae_train_steps(cfg, vae, disc)
 
