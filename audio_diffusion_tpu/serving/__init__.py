@@ -8,7 +8,8 @@ ledger). This subsystem keeps the reference's one-request-per-user API surface
 while the device runs full batches.
 """
 
-from .batcher import DynamicBatcher, GenerationResult
+from .batcher import DynamicBatcher, GenerationResult, QueueFull
 from .server import AudioDiffusionServer, make_server
 
-__all__ = ["DynamicBatcher", "GenerationResult", "AudioDiffusionServer", "make_server"]
+__all__ = ["DynamicBatcher", "GenerationResult", "QueueFull",
+           "AudioDiffusionServer", "make_server"]

@@ -24,9 +24,14 @@ TPU-first design:
   GL-convergence level, not bitwise — same property as the reference, where
   librosa re-randomizes phase per call (reference mel.py:165-168).
 * **One worker owns the device; transfers overlap compute.** Requests
-  enqueue (their noise generated on the submitting thread); a single worker
-  drains compatible requests (same steps/eta/conditioning shape — they share
-  one compiled program) and dispatches ONE pipeline call. JAX dispatch is
+  enqueue (holding just their seed/settings — per-request noise is derived
+  from the seed at batch-assembly time, so pending memory stays bounded); a
+  single worker drains compatible requests (same steps/eta/conditioning
+  shape — they share one compiled program) and dispatches ONE pipeline call.
+* **Admission control.** ``submit`` sheds over-capacity requests with
+  :class:`QueueFull` (global + per-group queue caps, throughput-based
+  ``retry_after_s``) instead of enqueueing work that will only time out;
+  the HTTP front-end maps it to 429 + ``Retry-After``. JAX dispatch is
   async, so the device arrays go to a separate finisher thread that pulls
   them to host and resolves futures while the worker assembles the next
   batch — device-to-host time (the dominant serving cost on thin host links)
@@ -58,12 +63,22 @@ class GenerationResult:
     sample_rate: int
 
 
+class QueueFull(RuntimeError):
+    """Raised by :meth:`DynamicBatcher.submit` when admission control sheds
+    the request (queue at capacity). ``retry_after_s`` is the server's
+    throughput-based estimate of when capacity frees up — the HTTP front-end
+    forwards it as a 429 ``Retry-After`` header."""
+
+    def __init__(self, message: str, retry_after_s: float):
+        super().__init__(message)
+        self.retry_after_s = retry_after_s
+
+
 @dataclass
 class _Pending:
-    seed: int
-    noise: np.ndarray  # (H, W, C) — generated at submit time, on the
-    # submitting thread: keeps host RNG work off the serial device-owning
-    # worker and parallel across clients
+    seed: int  # initial noise derives from this at batch-assembly time —
+    # a queued request holds only its seed/encoding/clip, not an (H, W, C)
+    # noise array, so pending memory stays bounded under load
     encoding: Optional[np.ndarray]  # (seq, dim) or None
     audio: Optional[np.ndarray]  # (samples,) input clip for audio-to-audio
     future: Future
@@ -104,6 +119,8 @@ class DynamicBatcher:
         allowed_etas: Optional[Sequence[float]] = None,
         allowed_start_steps: Optional[Sequence[int]] = None,
         conditional_seq: int = 1,
+        max_queue: Optional[int] = None,
+        max_group_queue: Optional[int] = None,
     ):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
@@ -139,6 +156,17 @@ class DynamicBatcher:
         self.allowed_start_steps = {int(s) for s in (allowed_start_steps or ())}
         self.conditional_seq = conditional_seq
         self.pcm16 = pcm16
+        # Admission control (overload sheds with a fast QueueFull instead of
+        # accepting work that will only time out): a GLOBAL cap on queued
+        # requests across all settings groups, and a PER-GROUP cap so one
+        # unusual settings combination cannot monopolize the whole queue.
+        # Defaults: 8 full tiers globally, one global cap per group.
+        self.max_queue = int(max_queue) if max_queue is not None else 8 * self.tiers[-1]
+        self.max_group_queue = (int(max_group_queue) if max_group_queue is not None
+                                else self.max_queue)
+        if self.max_queue < 1 or self.max_group_queue < 1:
+            raise ValueError("max_queue / max_group_queue must be >= 1")
+        self.requests_shed = 0  # observability: admission-control rejections
         self._groups: dict = {}  # settings key -> deque[_Pending]
         self._cond = threading.Condition()
         self._closed = False
@@ -230,17 +258,44 @@ class DynamicBatcher:
                              "pass the input clip")
         key = (steps, eta, None if encoding is None else encoding.shape,
                start_step, audio is not None)
-        h, w = self.pipe.sample_hw
-        noise = _noise_for_seed(seed, h, w, self.pipe.unet.config.in_channels)
         fut: Future = Future()
         with self._cond:
             if self._closed:
                 raise RuntimeError("batcher is closed")
+            # Admission control: shed NOW with a retry estimate rather than
+            # enqueue work that will time out. Checked under the lock so the
+            # caps are exact even with many submitting threads.
+            total = sum(len(dq) for dq in self._groups.values())
+            group_len = len(self._groups.get(key, ()))
+            if total >= self.max_queue or group_len >= self.max_group_queue:
+                self.requests_shed += 1
+                which = ("queue" if total >= self.max_queue
+                         else f"settings-group {key} queue")
+                raise QueueFull(
+                    f"server over capacity: {which} full "
+                    f"({total}/{self.max_queue} queued); retry later",
+                    retry_after_s=self._retry_after(total),
+                )
             self._groups.setdefault(key, deque()).append(
-                _Pending(seed, noise, encoding, audio, fut, time.monotonic())
+                _Pending(seed, encoding, audio, fut, time.monotonic())
             )
             self._cond.notify()
         return fut
+
+    def _retry_after(self, queued: int) -> float:
+        """Estimate seconds until the queue has room: queued work divided by
+        recent measured throughput (requests per second over the stats
+        window), clamped to [1, 60]. With no stats yet (overload during
+        warmup), the pessimistic 60 s cap applies."""
+        with self._stats_lock:
+            stats = list(self.stats)
+        if stats:
+            total_run = sum(s["run_s"] for s in stats) or 1e-3
+            rate = sum(s["n"] for s in stats) / total_run
+            est = queued / max(rate, 1e-3)
+        else:
+            est = 60.0
+        return float(min(max(est, 1.0), 60.0))
 
     def warmup(self) -> None:
         """Compile every (tier, steps, eta) the server will accept, up front
@@ -330,9 +385,12 @@ class DynamicBatcher:
         c = self.pipe.unet.config.in_channels
         tier = self._tier_for(len(batch))
 
+        # Per-request noise derives from the seed HERE (batch-assembly), not
+        # at submit: a queued request then costs ~bytes, not an (H, W, C)
+        # array — bounded pending memory is part of admission control.
         noise = np.zeros((tier, h, w, c), np.float32)
         for i, p in enumerate(batch):
-            noise[i] = p.noise
+            noise[i] = _noise_for_seed(p.seed, h, w, c)
         encoding = None
         if enc_shape is not None:
             encoding = np.zeros((tier,) + enc_shape, np.float32)
@@ -403,9 +461,13 @@ class DynamicBatcher:
         with self._stats_lock:
             stats = list(self.stats)
             lats = sorted(self._latencies)
+        with self._cond:
+            queued = sum(len(dq) for dq in self._groups.values())
         if not stats or not lats:
-            return {}
+            return {"queued": queued, "requests_shed": self.requests_shed}
         return {
+            "queued": queued,
+            "requests_shed": self.requests_shed,
             "recent_batches": len(stats),
             "mean_batch": round(sum(s["n"] for s in stats) / len(stats), 2),
             "p50_latency_s": lats[len(lats) // 2],

@@ -28,7 +28,7 @@ from typing import Optional
 
 import numpy as np
 
-from .batcher import DynamicBatcher
+from .batcher import DynamicBatcher, QueueFull
 
 logger = logging.getLogger("audio_diffusion_tpu.serving")
 
@@ -56,12 +56,15 @@ class AudioDiffusionServer:
         allowed_start_steps=None,
         conditional_seq: int = 1,
         request_timeout_s: float = 600.0,
+        max_queue: Optional[int] = None,
+        max_group_queue: Optional[int] = None,
     ):
         self.batcher = DynamicBatcher(
             pipe, max_batch=max_batch, max_wait_ms=max_wait_ms, steps=steps,
             eta=eta, pcm16=True, allowed_steps=allowed_steps,
             allowed_etas=allowed_etas, allowed_start_steps=allowed_start_steps,
             conditional_seq=conditional_seq,
+            max_queue=max_queue, max_group_queue=max_group_queue,
         )
         self.sample_rate = pipe.mel.get_sample_rate()
         self.request_timeout_s = request_timeout_s
@@ -109,15 +112,19 @@ def _make_handler(server: AudioDiffusionServer):
         def log_message(self, fmt, *args):  # route to logging, not stderr
             logger.debug("%s " + fmt, self.client_address[0], *args)
 
-        def _respond(self, code: int, body: bytes, content_type: str) -> None:
+        def _respond(self, code: int, body: bytes, content_type: str,
+                     headers=()) -> None:
             self.send_response(code)
             self.send_header("Content-Type", content_type)
             self.send_header("Content-Length", str(len(body)))
+            for k, v in headers:
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
-        def _respond_json(self, code: int, obj) -> None:
-            self._respond(code, json.dumps(obj).encode(), "application/json")
+        def _respond_json(self, code: int, obj, headers=()) -> None:
+            self._respond(code, json.dumps(obj).encode(), "application/json",
+                          headers)
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -161,6 +168,13 @@ def _make_handler(server: AudioDiffusionServer):
                 )
             except (ValueError, TypeError, json.JSONDecodeError) as e:
                 self._respond_json(400, {"error": str(e)})
+                return
+            except QueueFull as e:  # admission control: shed, don't queue
+                retry = max(1, int(round(e.retry_after_s)))
+                self._respond_json(
+                    429, {"error": str(e), "retry_after_s": retry},
+                    headers=[("Retry-After", str(retry))],
+                )
                 return
             except RuntimeError as e:  # "batcher is closed" during drain
                 self._respond_json(503, {"error": str(e)})

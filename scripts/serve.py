@@ -47,6 +47,13 @@ def parse_args(argv=None):
                         "tiers become multiples of N)")
     p.add_argument("--warmup", action=argparse.BooleanOptionalAction, default=True,
                    help="compile every batch tier before accepting traffic")
+    p.add_argument("--max_queue", type=int, default=None,
+                   help="admission control: global queued-request cap (default "
+                        "8x max_batch); over-capacity submits get a fast 429 + "
+                        "Retry-After instead of queueing toward timeout")
+    p.add_argument("--max_group_queue", type=int, default=None,
+                   help="per-settings-group queued-request cap (default: the "
+                        "global cap)")
     return p.parse_args(argv)
 
 
@@ -61,6 +68,7 @@ def main(argv=None):
         max_batch=a.max_batch, max_wait_ms=a.max_wait_ms, steps=a.steps, eta=a.eta,
         allowed_steps=a.allow_steps, allowed_etas=a.allow_etas,
         allowed_start_steps=a.allow_start_steps,
+        max_queue=a.max_queue, max_group_queue=a.max_group_queue,
     )
     if a.warmup:
         logging.info("warming up %s batch tiers (first TPU compiles take minutes)...",

@@ -15,6 +15,7 @@ import http.client
 import io
 import json
 import threading
+import time
 import wave
 
 import jax
@@ -295,6 +296,133 @@ def test_sharded_batcher_over_mesh(pipe):
     finally:
         batcher.close()
     np.testing.assert_array_equal(results[1].image, solo)
+
+
+class GatedPipe(CountingPipe):
+    """Blocks every pipeline call until released — holds the worker busy so
+    tests can fill the queue deterministically. ``entered`` signals the worker
+    is INSIDE the call (its batch is in flight, not queued)."""
+
+    def __init__(self, pipe):
+        super().__init__(pipe)
+        self.release = threading.Event()
+        self.entered = threading.Event()
+
+    def __call__(self, **kw):
+        self.entered.set()
+        self.release.wait(timeout=120)
+        return super().__call__(**kw)
+
+
+def test_overload_sheds_with_queue_full(pipe):
+    """Admission control: with the worker busy and the queue at max_queue,
+    further submits fail FAST with QueueFull (+ retry estimate) instead of
+    enqueueing toward a timeout; every ACCEPTED request still resolves
+    (no poisoned futures), and the shed count is observable."""
+    from audio_diffusion_tpu.serving import QueueFull
+
+    gated = GatedPipe(pipe)
+    batcher = DynamicBatcher(gated, max_batch=1, max_wait_ms=5, steps=2,
+                             max_queue=4)
+    try:
+        # One request through first so the worker is INSIDE the gated call
+        # (max_batch=1: it takes exactly this one), then 4 fill the queue.
+        first = batcher.submit(seed=0)
+        assert gated.entered.wait(timeout=60)
+        accepted = [batcher.submit(seed=s) for s in range(1, 5)]
+        with pytest.raises(QueueFull, match="over capacity") as exc_info:
+            batcher.submit(seed=99)
+        assert 1.0 <= exc_info.value.retry_after_s <= 60.0
+        assert batcher.requests_shed == 1
+        summary = batcher.latency_summary()
+        assert summary["requests_shed"] == 1 and summary["queued"] == 4
+
+        gated.release.set()  # unblock the device; everything accepted resolves
+        for f in [first] + accepted:
+            r = f.result(timeout=120)
+            assert r.image.shape[:2] == (RES, RES)
+        # capacity freed -> submits admitted again
+        assert batcher.submit(seed=100).result(timeout=120).image.dtype == np.uint8
+    finally:
+        gated.release.set()
+        batcher.close()
+
+
+def test_per_group_queue_cap(pipe):
+    """One settings group at its cap must not block OTHER groups' admission."""
+    from audio_diffusion_tpu.serving import QueueFull
+
+    gated = GatedPipe(pipe)
+    batcher = DynamicBatcher(gated, max_batch=1, max_wait_ms=5, steps=2,
+                             allowed_steps=(3,), max_queue=8, max_group_queue=2)
+    try:
+        first = batcher.submit(seed=0)
+        assert gated.entered.wait(timeout=60)
+        group_a = [batcher.submit(seed=s, steps=2) for s in (1, 2)]
+        with pytest.raises(QueueFull, match="settings-group"):
+            batcher.submit(seed=3, steps=2)
+        other = batcher.submit(seed=4, steps=3)  # different group: admitted
+        gated.release.set()
+        for f in [first] + group_a + [other]:
+            assert f.result(timeout=120).image.dtype == np.uint8
+    finally:
+        gated.release.set()
+        batcher.close()
+
+
+def test_http_429_with_retry_after(pipe):
+    """HTTP overload contract: over-capacity POSTs get a prompt 429 with a
+    Retry-After header while the worker is busy."""
+    gated = GatedPipe(pipe)
+    server = AudioDiffusionServer(gated, port=0, max_batch=1, max_wait_ms=5,
+                                  steps=2, max_queue=2)
+    server.start()
+    host, port = server.address[:2]
+
+    def post(body, timeout=120):
+        conn = http.client.HTTPConnection(host, port, timeout=timeout)
+        conn.request("POST", "/generate", json.dumps(body),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        data = resp.read()
+        conn.close()
+        return resp, data
+
+    try:
+        # Saturate deterministically: 1 in flight (max_batch=1, worker blocked
+        # inside the pipe) + 2 queued = max_queue.
+        results = {}
+
+        def client(s):
+            results[s] = post({"seed": s})
+
+        threads = [threading.Thread(target=client, args=(1,))]
+        threads[0].start()
+        assert gated.entered.wait(timeout=60)
+        threads += [threading.Thread(target=client, args=(s,)) for s in (2, 3)]
+        for t in threads[1:]:
+            t.start()
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            if server.batcher.latency_summary().get("queued", 0) >= 2:
+                break
+            time.sleep(0.02)
+        assert server.batcher.latency_summary().get("queued", 0) >= 2
+        t0 = time.monotonic()
+        resp, data = post({"seed": 99}, timeout=30)
+        shed_latency = time.monotonic() - t0
+        assert resp.status == 429
+        assert int(resp.getheader("Retry-After")) >= 1
+        assert json.loads(data)["retry_after_s"] >= 1
+        assert shed_latency < 5.0, "shed must be fast, not queue-to-timeout"
+        gated.release.set()
+        for t in threads:
+            t.join()
+        for s, (r, d) in results.items():
+            assert r.status == 200, f"accepted request {s} must still succeed"
+    finally:
+        gated.release.set()
+        server.stop()
 
 
 def test_serve_cli_parser():
