@@ -188,6 +188,88 @@ def main(argv=None):
         min_std = 5.0 if (trained or pixel_measured) else 0.0
         assert raw.std() > min_std, "constant/degenerate spectrogram output"
 
+    def fidelity_gate():
+        """Deterministic quality probes that work for random-init weights —
+        they gate the FUNCTION being benched, not the weights, so a perf
+        change that degrades output math fails the headline run even though
+        a random-init latent spectrogram is legitimately near-gray:
+
+        1. fused-vs-staged parity: the benched pipeline's fused program must
+           reproduce the staged multi-dispatch path (bit-equal spectrograms,
+           audio within 1 int16 LSB — XLA fusion reduction-order; contract
+           from tests/test_pipeline.py::test_fused_path_matches_staged_bitwise).
+           Runs at 2 denoise steps: every stage (noise, scan, VAE decode,
+           uint8 postprocess, NNLS+Griffin-Lim, pcm16) is exercised, but the
+           probe's scan compile stays cheap next to the timed 50-step one.
+        2. Griffin-Lim + NNLS roundtrip: synth audio -> mel image -> audio ->
+           mel image MAE against the frozen measured values (2.41 @256,
+           4.99 @64, tests/goldens/mel_goldens.npz) + 1.1 uint8 margin; a
+           >1 dB GL regression (wrong momentum, broken NNLS, lossy dtype
+           shortcut) fails here. Unmeasured resolutions get the loose
+           implementation-independent bound (18, the SNR-gate level).
+        3. (latent) VAE encode->decode roundtrip in the BENCHED dtype vs the
+           same params in f32: catches precision shortcuts that change the
+           decoder function (bf16 rounding measures ~1.2 uint8 MAE on the
+           random-init 256 recipe; gate 2.0).
+        """
+        import jax.numpy as jnp
+
+        # -- 1. fused-vs-staged parity on the benched pipeline
+        probe_kw = dict(batch_size=2, steps=2, key=jax.random.key(99),
+                        return_arrays=True, pcm16=True)
+        raw_f, audio_f = pipe(**probe_kw)
+        pipe.fuse = False
+        try:
+            raw_s, audio_s = pipe(**probe_kw)
+        finally:
+            pipe.fuse = True
+        raw_f, raw_s = np.asarray(raw_f), np.asarray(raw_s)
+        assert np.array_equal(raw_f, raw_s), \
+            "fused serving path diverged from the staged path (spectrograms)"
+        d = np.abs(np.asarray(audio_f).astype(np.int32) -
+                   np.asarray(audio_s).astype(np.int32))
+        assert d.max() <= 1, f"fused audio drifted {d.max()} int16 LSB from staged"
+
+        # -- 2. GL+NNLS roundtrip MAE at the benched resolution
+        mel = pipe.mel
+        rng = np.random.default_rng(0)
+        t = np.arange(mel.slice_size) / mel.get_sample_rate()
+        audio = sum(np.sin(2 * np.pi * f * t) * a for f, a in
+                    ((220.0, 0.5), (587.33, 0.3), (1760.0, 0.2)))
+        audio += 0.1 * rng.standard_normal(mel.slice_size)
+        audio = audio.astype(np.float32)
+        img = np.asarray(mel.spectrogram_images_from_audio(audio[None]))[0]
+        rec = np.asarray(mel.images_to_audio(img[None]))[0]
+        img2 = np.asarray(mel.spectrogram_images_from_audio(
+            np.pad(rec, (0, mel.slice_size - rec.shape[0]))[None]))[0]
+        mae = np.abs(img.astype(float) - img2.astype(float)).mean()
+        # frozen-golden bounds are per (y_res, x_res, hop) config — the
+        # measured values only transfer to the exact STFT geometry
+        bound = {(256, 256, 512): 2.41 + 1.1, (64, 64, 1024): 4.99 + 1.1}.get(
+            (mel.y_res, mel.x_res, mel.hop_length), 18.0)
+        assert mae < bound, f"GL roundtrip MAE {mae:.2f} exceeds {bound} — inverse path regressed"
+
+        # -- 3. benched-dtype VAE roundtrip vs f32 (latent pipelines)
+        if pipe.is_latent:
+            import dataclasses as _dc
+
+            from audio_diffusion_tpu.models.vae import AutoencoderKL
+
+            x = jnp.asarray(img.astype(np.float32) / 255.0 * 2 - 1)[None, ..., None]
+            def _roundtrip(vae):
+                return jax.jit(lambda p, x: vae.apply(
+                    {"params": p},
+                    vae.apply({"params": p}, x, method=vae.encode).mode(),
+                    method=vae.decode))(pipe.vqvae_params, x)
+            rec_b = np.asarray(_roundtrip(pipe.vqvae), dtype=np.float32)
+            vae32 = AutoencoderKL(_dc.replace(pipe.vqvae.config, dtype="float32"))
+            rec_32 = np.asarray(_roundtrip(vae32), dtype=np.float32)
+            vae_mae = np.abs(rec_b - rec_32).mean() * 127.5  # uint8 scale
+            assert vae_mae < 2.0, \
+                f"benched-dtype VAE decode drifted {vae_mae:.2f} uint8-MAE from f32"
+        return {"gl_roundtrip_mae": round(float(mae), 3),
+                "vae_dtype_mae": round(float(vae_mae), 3) if pipe.is_latent else None}
+
     if args.latency:
         # Sequential request latency: materialize each output before the next
         # call (no dispatch pipelining) — what one interactive request sees.
@@ -199,12 +281,15 @@ def main(argv=None):
             raw, audio = np.asarray(raw), np.asarray(audio)
             times.append(time.time() - t0)
             check(raw, audio)  # same fidelity gate as the throughput loop
+        fid = fidelity_gate()
         lat = float(np.median(times))
         out = {
             "metric": f"{out_hw[0]}x{out_hw[1]} {kind}single-sample latency, "
                       f"{args.steps} DDIM steps + Griffin-Lim end-to-end",
             "value": round(lat, 3),
             "unit": "seconds (median)",
+            "reps": [round(t, 3) for t in times],
+            "fidelity": fid,
         }
         if out_hw == (256, 256):
             # Reference's only published latency: ~20 min per 256x256 sample on
@@ -221,7 +306,7 @@ def main(argv=None):
     # ~3 s window rides whatever instantaneous congestion the shared device
     # tunnel has (observed 25% swings run-to-run); the best of several
     # measures what the hardware sustains, not the tunnel's worst moment.
-    best_dt = None
+    rep_rates = []
     for rep in range(args.reps):
         t0 = time.time()
         outs = [
@@ -234,14 +319,19 @@ def main(argv=None):
         dt = time.time() - t0
         for raw, audio in host:
             check(raw, audio)
-        best_dt = dt if best_dt is None else min(best_dt, dt)
+        rep_rates.append(args.batch * args.iters / dt)
 
-    samples_per_sec = args.batch * args.iters / best_dt
+    fid = fidelity_gate()
+    samples_per_sec = max(rep_rates)
     out = {
         "metric": f"{out_hw[0]}x{out_hw[1]} {kind}mel samples/sec/chip, "
                   f"{args.steps} DDIM steps + Griffin-Lim end-to-end",
         "value": round(samples_per_sec, 3),
         "unit": "samples/sec/chip",
+        # every window's rate, not just the best: a congested tunnel window
+        # is then attributable in the recorded BENCH json itself
+        "reps": [round(r, 3) for r in rep_rates],
+        "fidelity": fid,
     }
     if out_hw == (256, 256):
         # The >=50 north-star is defined for 256x256 generation
