@@ -16,6 +16,21 @@ import jax
 import numpy as np
 
 
+def _check_overlap(mel, overlap_samples: int, overlap_secs: float) -> None:
+    """An overlap that doesn't fit inside one generation window would silently
+    produce empty or non-advancing output (negative stride / empty tail
+    slices) — caught in CI by the examples smoke on a tiny model. Fail with
+    the model's actual window length instead."""
+    slice_size = mel.x_res * mel.hop_length
+    if not 0 <= overlap_samples < slice_size:
+        raise ValueError(
+            f"overlap_secs={overlap_secs} is {overlap_samples} samples, but this "
+            f"model's generation window is only {slice_size} samples "
+            f"({slice_size / mel.get_sample_rate():.2f}s at {mel.get_sample_rate()} Hz) "
+            "— choose an overlap shorter than one window."
+        )
+
+
 def outpaint(
     pipe,
     initial_audio: np.ndarray,
@@ -31,6 +46,7 @@ def outpaint(
     (test_model.ipynb cell 16)."""
     sample_rate = pipe.mel.get_sample_rate()
     overlap_samples = int(overlap_secs * sample_rate)
+    _check_overlap(pipe.mel, overlap_samples, overlap_secs)
     key = key if key is not None else jax.random.key(0)
 
     track = np.asarray(initial_audio, dtype=np.float32)
@@ -83,6 +99,7 @@ def remix(
     mel = pipe.mel
     sample_rate = mel.get_sample_rate()
     overlap_samples = int(overlap_secs * sample_rate)
+    _check_overlap(mel, overlap_samples, overlap_secs)
     slice_size = mel.x_res * mel.hop_length
     stride = slice_size - overlap_samples
     key = key if key is not None else jax.random.key(0)
@@ -124,6 +141,7 @@ def _remix_parallel(pipe, track_audio, start_step, overlap_secs, steps, key, eta
     mel = pipe.mel
     sample_rate = mel.get_sample_rate()
     overlap_samples = int(overlap_secs * sample_rate)
+    _check_overlap(mel, overlap_samples, overlap_secs)
     slice_size = mel.x_res * mel.hop_length
     stride = slice_size - overlap_samples
     key = key if key is not None else jax.random.key(0)

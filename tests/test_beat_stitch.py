@@ -137,3 +137,22 @@ def test_remix_parallel_covers_track(tiny_pipe):
     # Every window shares the pinned initial noise (the serial semantics) but
     # sees its own input slice, so windows must differ.
     assert not np.array_equal(out[:gen_len], out[-gen_len:])
+
+
+def test_stitch_rejects_oversized_overlap(tiny_pipe):
+    """An overlap >= the model's generation window used to yield silently
+    empty / non-advancing output (caught by the examples smoke on a tiny
+    model) — now a ValueError naming the window length."""
+    import pytest
+
+    from audio_diffusion_tpu.pipelines.stitch import outpaint
+
+    slice_secs = tiny_pipe.mel.x_res * tiny_pipe.mel.hop_length / tiny_pipe.mel.get_sample_rate()
+    audio = np.zeros(4096, np.float32)
+    with pytest.raises(ValueError, match="generation window"):
+        outpaint(tiny_pipe, audio, num_windows=1, overlap_secs=slice_secs + 1)
+    with pytest.raises(ValueError, match="generation window"):
+        remix(tiny_pipe, audio, start_step=1, steps=2, overlap_secs=slice_secs + 1)
+    with pytest.raises(ValueError, match="generation window"):
+        remix(tiny_pipe, audio, start_step=1, steps=2, overlap_secs=slice_secs + 1,
+              parallel=True)
