@@ -23,6 +23,13 @@ pipe = ad.pipe
 sr = pipe.mel.get_sample_rate()
 key = jax.random.key(42)
 
+# The notebook's 2 s overlaps / 1 s masks assume the published models' 5.94 s
+# generation window; scale down proportionally for smaller windows (a tiny CI
+# model's window is shorter than 2 s — stitch validates and would refuse).
+window_secs = pipe.mel.x_res * pipe.mel.hop_length / sr
+overlap = min(2.0, round(window_secs / 3, 3))
+mask = min(1.0, round(window_secs / 6, 3))
+
 # --- generation + loop (cells 10/26) ------------------------------------
 image, (sr, audio) = ad.generate_spectrogram_and_audio(key=key)
 write_wav("generated.wav", normalize(audio), sr)
@@ -38,18 +45,18 @@ image2, (_, variation) = ad.generate_spectrogram_and_audio_from_audio(
 write_wav("variation.wav", normalize(variation), sr)
 
 # --- outpainting continuation with 2s overlap (cell 16) ------------------
-track = outpaint(pipe, audio, num_windows=4, overlap_secs=2, key=jax.random.key(2))
+track = outpaint(pipe, audio, num_windows=4, overlap_secs=overlap, key=jax.random.key(2))
 write_wav("outpainted.wav", normalize(track), sr)
 
 # --- remix / style transfer (cell 20) ------------------------------------
 if len(sys.argv) > 2:
     source = load_audio(sys.argv[2], sr)
-    restyled = remix(pipe, source, start_step=500, overlap_secs=2, key=jax.random.key(3))
+    restyled = remix(pipe, source, start_step=500, overlap_secs=overlap, key=jax.random.key(3))
     write_wav("remixed.wav", normalize(restyled), sr)
 
 # --- inpainting with both masks (cell 22) --------------------------------
 _, (_, inpainted) = ad.generate_spectrogram_and_audio_from_audio(
-    raw_audio=audio, mask_start_secs=1, mask_end_secs=1, key=jax.random.key(4))
+    raw_audio=audio, mask_start_secs=mask, mask_end_secs=mask, key=jax.random.key(4))
 write_wav("inpainted.wav", normalize(inpainted), sr)
 
 # --- DDIM eta (cell 28) ---------------------------------------------------
