@@ -87,31 +87,31 @@ def stft(
     return jnp.fft.rfft(frames, axis=-1)
 
 
-def istft(
-    spec: jnp.ndarray,
-    n_fft: int = 2048,
-    hop_length: int = 512,
+def overlap_add_normalize(
+    frames: jnp.ndarray,
+    hop_length: int,
     length: int | None = None,
     window: np.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Batched inverse STFT with squared-window overlap-add normalization.
+    """Windowed ISTFT frames -> signal: overlap-add, squared-window-sum
+    normalization, center-crop — the transform-independent tail of
+    :func:`istft`, shared by the DFT-matmul synthesis path
+    (:func:`windowed_dft_matrices`, used in ops.griffin_lim).
 
     Args:
-        spec: complex spectrogram, shape (..., n_frames, n_fft // 2 + 1)
-            (frames-major, matching :func:`stft`).
+        frames: already-windowed time-domain frames (..., n_frames, n_fft).
         length: output length; defaults to librosa's ``(n_frames - 1) * hop``.
     Returns:
         real signal, shape (..., length).
     """
+    n_frames, n_fft = frames.shape[-2], frames.shape[-1]
     window_np = hann_window(n_fft) if window is None else np.asarray(window, dtype=np.float64)
-    n_frames = spec.shape[-2]
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * jnp.asarray(window_np, dtype=jnp.float32)
 
     pad = n_fft // 2
     full = (n_frames - 1) * hop_length + n_fft
     starts = np.arange(n_frames, dtype=np.int32) * hop_length
 
-    batch_shape = spec.shape[:-2]
+    batch_shape = frames.shape[:-2]
     flat = frames.reshape((-1, n_frames, n_fft))
     if n_fft % hop_length == 0:
         # Overlap-add as R shifted adds of contiguous hop-chunks (no scatter):
@@ -141,3 +141,58 @@ def istft(
         length = (n_frames - 1) * hop_length
     out = out[:, pad : pad + length]
     return out.reshape(batch_shape + (length,))
+
+
+def istft(
+    spec: jnp.ndarray,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    length: int | None = None,
+    window: np.ndarray | None = None,
+) -> jnp.ndarray:
+    """Batched inverse STFT with squared-window overlap-add normalization.
+
+    Args:
+        spec: complex spectrogram, shape (..., n_frames, n_fft // 2 + 1)
+            (frames-major, matching :func:`stft`).
+        length: output length; defaults to librosa's ``(n_frames - 1) * hop``.
+    Returns:
+        real signal, shape (..., length).
+    """
+    window_np = hann_window(n_fft) if window is None else np.asarray(window, dtype=np.float64)
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * jnp.asarray(window_np, dtype=jnp.float32)
+    return overlap_add_normalize(frames, hop_length, length=length, window=window_np)
+
+
+@lru_cache(maxsize=8)
+def windowed_dft_matrices(n_fft: int) -> tuple:
+    """Real one-sided DFT synthesis/analysis matrices with the periodic Hann
+    window folded in, for running ISTFT/STFT per-frame transforms as plain
+    matmuls on the MXU.
+
+    Rationale (measured on TPU v5e, n_fft=2048): XLA's native FFT lowering
+    costs ~6 ms per (16, 512, 1025) irfft+rfft pair, while the mathematically
+    identical dense DFT matmul costs ~1.7 ms — the systolic array beats the
+    FFT's O(N log N) advantage at this size. Griffin-Lim's projection loop
+    (32 such pairs per inversion; reference: audiodiffusion/mel.py:165-167)
+    uses these for its inner iterations; see ops.griffin_lim.griffin_lim.
+
+    Returns (IRr, IRi, FWr, FWi) float32 numpy arrays such that, for a
+    one-sided spectrum split into real/imag parts (r, i) of shape
+    (..., n_fft//2+1):
+
+    * ``r @ IRr + i @ IRi``  == ``irfft(r + 1j*i, n_fft) * hann``  (windowed
+      synthesis frames), and for time frames ``x`` (..., n_fft):
+    * ``x @ FWr + 1j * (x @ FWi)``  == ``rfft(x * hann)``  (windowed analysis).
+    """
+    k = np.arange(n_fft)
+    f = np.arange(n_fft // 2 + 1)
+    W = np.exp(2j * np.pi * np.outer(f, k) / n_fft)  # (n_freq, n_fft)
+    # irfft doubles every bin except DC and (for even n) Nyquist.
+    dbl = np.where((f == 0) | (f == n_fft // 2), 1.0, 2.0)[:, None]
+    w = hann_window(n_fft)
+    ir_r = (np.real(W) * dbl / n_fft * w).astype(np.float32)
+    ir_i = (-np.imag(W) * dbl / n_fft * w).astype(np.float32)
+    fw_r = (np.real(W) * w).T.astype(np.float32)
+    fw_i = (-np.imag(W) * w).T.astype(np.float32)
+    return ir_r, ir_i, fw_r, fw_i
