@@ -318,9 +318,21 @@ class DynamicBatcher:
                     for start_step in [0] + sorted(
                         s for s in self.allowed_start_steps if 0 < s < steps
                     ):
+                        # step_key is ALWAYS passed, exactly as _run_batch
+                        # does: the fused program's static signature includes
+                        # whether step_key was supplied, so a warmup without
+                        # it compiles a program live traffic never runs — the
+                        # first real batch then pays a minutes-long compile
+                        # inside the serving window (observed on the v5e:
+                        # p50 latency 107 s until the live variants finished
+                        # compiling). Gated by
+                        # tests/test_serving.py::test_warmup_covers_live_batch_programs.
+                        import jax
+
                         self.pipe(
                             noise=noise, encoding=enc, steps=steps, eta=eta,
                             start_step=start_step,
+                            step_key=jax.random.key(0),
                             raw_audio=np.zeros((tier, full), np.float32) if start_step else None,
                             return_arrays=True, pcm16=self.pcm16,
                         )

@@ -552,3 +552,34 @@ def test_sharded_audio_to_audio_over_mesh(pipe):
         batcher.close()
     for i in (0, 1):
         np.testing.assert_array_equal(results[i].image, direct[i])
+
+
+def test_warmup_covers_live_batch_programs():
+    """After warmup(), a live batch must hit ONLY programs warmup already
+    compiled. The fused program's static signature includes whether step_key
+    was supplied, and _run_batch always supplies it — so a warmup that omits
+    step_key compiles a variant live traffic never runs, and the first real
+    batch pays a minutes-long compile inside the serving window (observed on
+    the v5e: p50 latency 107 s). Fresh pipeline, so the compile-cache
+    accounting is exact."""
+    cfg = UNetConfig(sample_size=(RES, RES), block_out_channels=(8, 16),
+                     down_block_types=("DownBlock2D", "DownBlock2D"),
+                     up_block_types=("UpBlock2D", "UpBlock2D"),
+                     layers_per_block=1, norm_num_groups=4)
+    unet = UNet2D(cfg)
+    fresh = AudioDiffusionPipeline(
+        unet, unet.init_params(jax.random.key(0)),
+        Mel(x_res=RES, y_res=RES, hop_length=HOP),
+        DDIMScheduler(SchedulerConfig(num_train_timesteps=100)),
+    )
+    batcher = DynamicBatcher(fresh, max_batch=4, max_wait_ms=50, steps=3)
+    batcher.warmup()
+    warmed = set(fresh._compiled.keys())
+    try:
+        futs = [batcher.submit(seed=s) for s in (1, 2)]
+        for f in futs:
+            f.result(timeout=120)
+    finally:
+        batcher.close()
+    new = set(fresh._compiled.keys()) - warmed
+    assert not new, f"live batch compiled programs warmup missed: {sorted(map(str, new))}"
