@@ -245,7 +245,9 @@ def main(argv=None):
         mae = np.abs(img.astype(float) - img2.astype(float)).mean()
         # frozen-golden bounds are per (y_res, x_res, hop) config — the
         # measured values only transfer to the exact STFT geometry
-        bound = {(256, 256, 512): 2.41 + 1.1, (64, 64, 1024): 4.99 + 1.1}.get(
+        # (512 measured round 4 on the v5e: 3.21 matmul-GL / 3.19 fft-GL)
+        bound = {(256, 256, 512): 2.41 + 1.1, (64, 64, 1024): 4.99 + 1.1,
+                 (512, 512, 512): 3.21 + 1.1}.get(
             (mel.y_res, mel.x_res, mel.hop_length), 18.0)
         assert mae < bound, f"GL roundtrip MAE {mae:.2f} exceeds {bound} — inverse path regressed"
 
