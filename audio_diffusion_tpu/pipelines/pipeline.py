@@ -419,6 +419,16 @@ class AudioDiffusionPipeline:
 
             input_images = jnp.broadcast_to(input_images, noise.shape)
 
+            if start_step >= steps:
+                # The reference dies with a bare IndexError here: its notebook
+                # value start_step=500 assumes the 1000-step DDPM schedule and
+                # silently overruns a 50-step DDIM one
+                # (pipeline_audio_diffusion.py:149-150).
+                raise ValueError(
+                    f"start_step ({start_step}) must be < steps ({steps}); "
+                    "start_step indexes the inference schedule, so a DDPM-era "
+                    "value like 500 must be rescaled for a 50-step DDIM run "
+                    "(e.g. steps // 2 for a half-strength variation).")
             if start_step > 0:
                 schedule = self.scheduler.schedule(steps)
                 t0 = int(schedule.timesteps[start_step - 1])

@@ -40,8 +40,12 @@ else:
     print("Unable to determine loop points")
 
 # --- variations via start_step (cells 13-14) -----------------------------
+# The notebook's start_step=500 assumes the 1000-step DDPM schedule;
+# start_step indexes the inference schedule, so scale to this model's
+# default step count (50 for DDIM) — half-strength either way.
+half = max(1, pipe.get_default_steps() // 2)
 image2, (_, variation) = ad.generate_spectrogram_and_audio_from_audio(
-    raw_audio=audio, start_step=500, key=jax.random.key(1))
+    raw_audio=audio, start_step=half, key=jax.random.key(1))
 write_wav("variation.wav", normalize(variation), sr)
 
 # --- outpainting continuation with 2s overlap (cell 16) ------------------
@@ -51,7 +55,7 @@ write_wav("outpainted.wav", normalize(track), sr)
 # --- remix / style transfer (cell 20) ------------------------------------
 if len(sys.argv) > 2:
     source = load_audio(sys.argv[2], sr)
-    restyled = remix(pipe, source, start_step=500, overlap_secs=overlap, key=jax.random.key(3))
+    restyled = remix(pipe, source, start_step=half, overlap_secs=overlap, key=jax.random.key(3))
     write_wav("remixed.wav", normalize(restyled), sr)
 
 # --- inpainting with both masks (cell 22) --------------------------------

@@ -415,3 +415,14 @@ def test_batched_per_sample_audio_input(ddim_pipe):
 
     with pytest.raises(ValueError, match="raw_audio batch"):
         ddim_pipe(raw_audio=rows, noise=noise[:1], steps=4)
+
+
+def test_start_step_beyond_schedule_raises_actionable(ddim_pipe):
+    """start_step indexes the INFERENCE schedule: the reference's notebook
+    value 500 assumes the 1000-step DDPM schedule and overruns a 50-step DDIM
+    one with a bare IndexError (pipeline_audio_diffusion.py:149-150). Here it
+    must be an actionable ValueError naming the rescale rule."""
+    audio = np.zeros(((RES - 1) * 512,), np.float32)
+    with pytest.raises(ValueError, match="start_step .* must be < steps"):
+        ddim_pipe(batch_size=1, raw_audio=audio, start_step=500, steps=3,
+                  key=jax.random.key(0))
