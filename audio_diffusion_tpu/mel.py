@@ -132,6 +132,7 @@ class Mel:
         mel_basis = self._mel_basis  # (n_mels, n_freq), static constant
         n_fft, hop, top_db = self.n_fft, self.hop_length, float(self.top_db)
         n_iter = self.n_iter
+        self._gl_mats = None  # lazy device-committed windowed-DFT matrices
 
         @partial(jax.jit, static_argnames=("ref",))
         def _forward(audio: jnp.ndarray, ref=None) -> jnp.ndarray:
@@ -142,14 +143,38 @@ class Mel:
             log_s = power_to_db(mel, top_db, ref=ref)
             return db_to_uint8(log_s, top_db)
 
+        # The Griffin-Lim DFT matrices (~33 MB f32 at n_fft=2048) ride along as
+        # jit ARGUMENTS, not trace-time constants: baked constants bloat every
+        # cached HLO module containing the inverse path and risk the remote-
+        # compile upload limit (CLAUDE.md "HTTP 413"; ADVICE r4). Passed once
+        # as device-committed arrays, they transfer once and are shared by
+        # reference across programs.
         @partial(jax.jit, static_argnames=("length",))
-        def _inverse(images: jnp.ndarray, key: jax.Array, length: int) -> jnp.ndarray:
+        def _inverse_impl(images: jnp.ndarray, key: jax.Array, length: int,
+                          dft_mats) -> jnp.ndarray:
             log_s = uint8_to_db(images, top_db)  # (B, n_mels, frames)
             mel_power = jnp.swapaxes(db_to_power(log_s), -2, -1)  # (B, frames, n_mels)
-            return mel_to_audio(mel_power, mel_basis, key, n_fft, hop, n_iter, length=length)
+            return mel_to_audio(mel_power, mel_basis, key, n_fft, hop, n_iter,
+                                length=length, dft_mats=dft_mats)
 
         self._forward = _forward
-        self._inverse = _inverse
+        self._inverse_impl = _inverse_impl
+
+    def gl_matrices(self) -> tuple:
+        """Device-committed windowed-DFT matrices for the Griffin-Lim matmul
+        projection (ops.stft.windowed_dft_matrices), created once per Mel.
+        Callers that trace the inverse path inside a larger jitted program
+        (pipelines/pipeline._fused_generate_fn) must take these as program
+        ARGUMENTS — concrete arrays closed over at trace time become HLO
+        constants, which is exactly what this avoids."""
+        if self._gl_mats is None:
+            from .ops.stft import windowed_dft_matrices
+
+            self._gl_mats = tuple(jax.device_put(m) for m in windowed_dft_matrices(self.n_fft))
+        return self._gl_mats
+
+    def _inverse(self, images: jnp.ndarray, key: jax.Array, length: int) -> jnp.ndarray:
+        return self._inverse_impl(images, key, length, self.gl_matrices())
 
     def spectrogram_images_from_audio(
         self, audio: Union[np.ndarray, jnp.ndarray], ref: Optional[float] = None

@@ -77,6 +77,7 @@ def griffin_lim(
     momentum: float = 0.99,
     length: int | None = None,
     projection: str = "auto",
+    dft_mats: tuple | None = None,
 ) -> jnp.ndarray:
     """Momentum Griffin-Lim phase retrieval (librosa.griffinlim semantics).
 
@@ -102,6 +103,14 @@ def griffin_lim(
         magnitude: (..., n_frames, n_freq) linear-magnitude spectrogram
             (frames-major, matching :mod:`.stft`).
         key: PRNG key for the random initial phase.
+        dft_mats: the four :func:`..ops.stft.windowed_dft_matrices` arrays for
+            the matmul projection, passed through as ARGUMENTS of the caller's
+            jitted program. When None they are materialized at trace time,
+            which bakes ~33 MB (n_fft=2048) of f32 constants into every HLO
+            module containing Griffin-Lim — bloating each cached program and
+            risking the remote-compile upload limit (CLAUDE.md; ADVICE r4).
+            Callers on the hot path (Mel, the fused pipeline program) thread
+            :meth:`Mel.gl_matrices` here instead.
     Returns:
         real audio, shape (..., length or (n_frames - 1) * hop_length).
     """
@@ -128,7 +137,10 @@ def griffin_lim(
         # Same recursion over (real, imag) float pairs; the windowed DFT
         # matmuls replace irfft/rfft (window folded into the matrices, so
         # the body is: synthesize -> overlap-add -> reframe -> analyze).
-        ir_r, ir_i, fw_r, fw_i = (jnp.asarray(m) for m in windowed_dft_matrices(n_fft))
+        if dft_mats is not None:
+            ir_r, ir_i, fw_r, fw_i = dft_mats
+        else:
+            ir_r, ir_i, fw_r, fw_i = (jnp.asarray(m) for m in windowed_dft_matrices(n_fft))
         n_frames = magnitude.shape[-2]
         out_len = length if length is not None else (n_frames - 1) * hop_length
         a_r, a_i = jnp.cos(phase_angle), jnp.sin(phase_angle)
@@ -159,6 +171,7 @@ def mel_to_audio(
     nnls_iter: int = 80,
     length: int | None = None,
     projection: str = "auto",
+    dft_mats: tuple | None = None,
 ) -> jnp.ndarray:
     """Full mel-power -> audio inversion (librosa ``mel_to_audio`` equivalent).
 
@@ -167,8 +180,10 @@ def mel_to_audio(
         mel_basis: (n_mels, n_fft//2+1) filterbank.
         projection: Griffin-Lim projection implementation (see
             :func:`griffin_lim`; "auto" = MXU matmuls on accelerators).
+        dft_mats: windowed-DFT matrices threaded as jit arguments (see
+            :func:`griffin_lim`).
     """
     linear_power = nnls(mel_basis, mel_power, n_iter=nnls_iter)
     magnitude = jnp.sqrt(jnp.maximum(linear_power, 0.0))  # power=2.0 -> amplitude
     return griffin_lim(magnitude, key, n_fft, hop_length, n_iter, length=length,
-                       projection=projection)
+                       projection=projection, dft_mats=dft_mats)

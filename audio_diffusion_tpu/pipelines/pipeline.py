@@ -243,7 +243,11 @@ class AudioDiffusionPipeline:
 
             out_sharding = batch_sharding(self.mesh, 4)
 
-        def run(unet_params, vae_params, noise, enc, key, step_key):
+        # gl_mats rides as a program ARGUMENT (not a trace-time closure): the
+        # four windowed-DFT matrices are ~33 MB f32 at n_fft=2048 and baking
+        # them as HLO constants bloats every cached fused program and risks
+        # the remote-compile upload limit (CLAUDE.md "HTTP 413"; ADVICE r4).
+        def run(unet_params, vae_params, noise, enc, key, step_key, gl_mats):
             # Same split order as __call__ — bit-parity with the staged path.
             key, noise_key, _vae_key, gl_key = jax.random.split(key, 4)
             if gen_noise:
@@ -258,7 +262,7 @@ class AudioDiffusionPipeline:
                 images = vqvae.apply({"params": vae_params}, images / LATENT_SCALE,
                                      method=vqvae.decode)
             raw = postprocess_images(images)
-            audio = mel._inverse(raw, gl_key, length)
+            audio = mel._inverse_impl(raw, gl_key, length, gl_mats)
             if pcm16:
                 peak = jnp.maximum(jnp.max(jnp.abs(audio), axis=-1, keepdims=True), 1e-12)
                 audio = jnp.clip(audio / peak * 32767.0, -32768, 32767).astype(jnp.int16)
@@ -325,7 +329,8 @@ class AudioDiffusionPipeline:
                                          step_key is None, pcm16)
             raw_dev, audios_dev = fn(
                 self.unet_params, self.vqvae_params, noise_arg, enc, key,
-                step_key if step_key is not None else key)
+                step_key if step_key is not None else key,
+                self.mel.gl_matrices())
             if return_arrays:
                 return raw_dev, audios_dev
             raw = np.asarray(raw_dev)
