@@ -116,10 +116,14 @@ class Mel:
     def get_sample_rate(self) -> int:
         return self.sr
 
-    def audio_slice_to_image(self, slice: int, ref: Optional[float] = None) -> Image.Image:
+    def audio_slice_to_image(self, slice: int, ref=None) -> Image.Image:
         """slice -> uint8 mel image. ``ref=None`` = per-spectrogram max (the
         reference's ``np.max`` default); a scalar matches librosa's scalar-ref
-        dB convention (reference: audiodiffusion/mel.py:135-148)."""
+        dB convention; a CALLABLE is applied to the power spectrogram like
+        librosa's ``ref_value = abs(ref(S))`` — the reference accepts
+        ``Union[float, Callable]`` (audiodiffusion/mel.py:135-148). Callables
+        must be hashable (they key the compiled-program cache) and accept a
+        jax array; numpy reducers like ``np.max``/``np.mean`` qualify."""
         arr = self.spectrogram_images_from_audio(self.get_audio_slice(slice)[None], ref=ref)[0]
         return Image.fromarray(np.asarray(arr))
 
@@ -177,9 +181,12 @@ class Mel:
         return self._inverse_impl(images, key, length, self.gl_matrices())
 
     def spectrogram_images_from_audio(
-        self, audio: Union[np.ndarray, jnp.ndarray], ref: Optional[float] = None
+        self, audio: Union[np.ndarray, jnp.ndarray], ref=None
     ) -> jnp.ndarray:
-        """Batch of audio slices (B, slice_size) -> uint8 images (B, y_res, x_res)."""
+        """Batch of audio slices (B, slice_size) -> uint8 images (B, y_res, x_res).
+
+        ``ref``: None (per-spectrogram max), scalar, or hashable callable —
+        see :meth:`audio_slice_to_image`."""
         return self._forward(jnp.asarray(audio), ref=ref)
 
     def images_to_audio(

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -70,18 +71,26 @@ def mel_filterbank(
     return weights.astype(np.float32)
 
 
-def power_to_db(S: jnp.ndarray, top_db: float = 80.0, ref: float | None = None) -> jnp.ndarray:
+def power_to_db(S: jnp.ndarray, top_db: float = 80.0, ref=None) -> jnp.ndarray:
     """librosa ``power_to_db(S, ref, top_db)`` over the trailing 2 axes.
 
     ``ref=None`` means ``ref=np.max`` (the per-spectrogram maximum — the
     reference's default, audiodiffusion/mel.py:135,148): output peaks at 0 dB
     and floors at ``-top_db``. A scalar ``ref`` shifts by ``10*log10(ref)``
-    and floors at ``max - top_db``, matching librosa exactly.
-    Batched: reduction axes are the last two (freq/time of one spectrogram).
+    and floors at ``max - top_db``, matching librosa exactly. A CALLABLE
+    ``ref`` is applied to each spectrogram's power matrix and its |value|
+    used as the reference (librosa's ``ref_value = np.abs(ref(S))``,
+    audiodiffusion/mel.py:135 takes ``Union[float, Callable]``); it must
+    accept a jax array — numpy reducers like ``np.max``/``np.mean`` duck-type
+    through. Batched: reduction axes are the last two (one spectrogram).
     """
     log_spec = 10.0 * jnp.log10(jnp.maximum(S, AMIN))
     if ref is None:
         ref_db = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
+    elif callable(ref):
+        per_spec = jax.vmap(lambda s: jnp.abs(ref(s)))(S.reshape((-1,) + S.shape[-2:]))
+        ref_val = per_spec.reshape(S.shape[:-2] + (1, 1))
+        ref_db = 10.0 * jnp.log10(jnp.maximum(ref_val, AMIN))
     else:
         ref_db = 10.0 * jnp.log10(jnp.maximum(jnp.float32(abs(ref)), AMIN))
     log_spec = log_spec - ref_db

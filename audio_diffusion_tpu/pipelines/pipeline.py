@@ -62,6 +62,16 @@ def postprocess_images(x: jnp.ndarray) -> jnp.ndarray:
     return lum.astype(jnp.uint8)
 
 
+def pcm16_quantize(audio: jnp.ndarray) -> jnp.ndarray:
+    """Peak-normalize + quantize float audio to 16-bit PCM on device (the
+    exact payload the apps deliver, apps.wav_bytes). The SINGLE definition of
+    the serving pcm16 contract — the fused program, the staged path, and
+    scripts/stage_ledger.py all call this, so the ledger times the op serving
+    actually runs."""
+    peak = jnp.maximum(jnp.max(jnp.abs(audio), axis=-1, keepdims=True), 1e-12)
+    return jnp.clip(audio / peak * 32767.0, -32768, 32767).astype(jnp.int16)
+
+
 @dataclasses.dataclass
 class PipelineOutput:
     images: List[Image.Image]
@@ -264,8 +274,7 @@ class AudioDiffusionPipeline:
             raw = postprocess_images(images)
             audio = mel._inverse_impl(raw, gl_key, length, gl_mats)
             if pcm16:
-                peak = jnp.maximum(jnp.max(jnp.abs(audio), axis=-1, keepdims=True), 1e-12)
-                audio = jnp.clip(audio / peak * 32767.0, -32768, 32767).astype(jnp.int16)
+                audio = pcm16_quantize(audio)
             return raw, audio
 
         fn = jax.jit(run)
@@ -299,6 +308,19 @@ class AudioDiffusionPipeline:
         ``noise``/``encoding`` are NHWC / (B, seq, dim) arrays.
         """
         steps = steps or self.get_default_steps()
+        if start_step >= steps:
+            # The reference dies with a bare IndexError here: its notebook
+            # value start_step=500 assumes the 1000-step DDPM schedule and
+            # silently overruns a 50-step DDIM one
+            # (pipeline_audio_diffusion.py:149-150). Validated for EVERY call
+            # shape — without input audio an out-of-range start_step would
+            # otherwise silently slice an empty inference schedule and return
+            # un-denoised noise.
+            raise ValueError(
+                f"start_step ({start_step}) must be < steps ({steps}); "
+                "start_step indexes the inference schedule, so a DDPM-era "
+                "value like 500 must be rescaled for a 50-step DDIM run "
+                "(e.g. steps // 2 for a half-strength variation).")
         key = key if key is not None else jax.random.key(0)
 
         h, w = self.sample_hw
@@ -424,16 +446,6 @@ class AudioDiffusionPipeline:
 
             input_images = jnp.broadcast_to(input_images, noise.shape)
 
-            if start_step >= steps:
-                # The reference dies with a bare IndexError here: its notebook
-                # value start_step=500 assumes the 1000-step DDPM schedule and
-                # silently overruns a 50-step DDIM one
-                # (pipeline_audio_diffusion.py:149-150).
-                raise ValueError(
-                    f"start_step ({start_step}) must be < steps ({steps}); "
-                    "start_step indexes the inference schedule, so a DDPM-era "
-                    "value like 500 must be rescaled for a 50-step DDIM run "
-                    "(e.g. steps // 2 for a half-strength variation).")
             if start_step > 0:
                 schedule = self.scheduler.schedule(steps)
                 t0 = int(schedule.timesteps[start_step - 1])
@@ -476,11 +488,7 @@ class AudioDiffusionPipeline:
             # payload, which dominates serving latency on bandwidth-limited
             # links.
             if "pcm16" not in self._compiled:
-                def _pcm16(a):
-                    peak = jnp.maximum(jnp.max(jnp.abs(a), axis=-1, keepdims=True), 1e-12)
-                    return jnp.clip(a / peak * 32767.0, -32768, 32767).astype(jnp.int16)
-
-                self._compiled["pcm16"] = jax.jit(_pcm16)
+                self._compiled["pcm16"] = jax.jit(pcm16_quantize)
             audios_dev = self._compiled["pcm16"](audios_dev)
         if return_arrays:
             # Device arrays, no host sync: lets a serving loop overlap the

@@ -302,6 +302,8 @@ class DynamicBatcher:
         (first TPU compiles take minutes; a production server must not pay
         them on live traffic). Conditional models warm the cross-attention
         program at the served sequence length."""
+        import jax
+
         h, w = self.pipe.sample_hw
         c = self.pipe.unet.config.in_channels
         cross_dim = self.pipe.unet.config.cross_attention_dim
@@ -327,8 +329,6 @@ class DynamicBatcher:
                         # p50 latency 107 s until the live variants finished
                         # compiling). Gated by
                         # tests/test_serving.py::test_warmup_covers_live_batch_programs.
-                        import jax
-
                         self.pipe(
                             noise=noise, encoding=enc, steps=steps, eta=eta,
                             start_step=start_step,

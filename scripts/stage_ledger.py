@@ -136,12 +136,10 @@ def main(argv=None):
     audio, ledger[f"nnls_griffin_lim_x{mel.n_iter}"] = _time(
         gl_fn, (raw, jax.random.key(2)), reps)
 
-    # -- pcm16
-    def _pcm16(a):
-        peak = jnp.maximum(jnp.max(jnp.abs(a), axis=-1, keepdims=True), 1e-12)
-        return jnp.clip(a / peak * 32767.0, -32768, 32767).astype(jnp.int16)
+    # -- pcm16 (the pipeline's own op — the ledger times what serving runs)
+    from audio_diffusion_tpu.pipelines.pipeline import pcm16_quantize
 
-    pcm_fn = _scalarized(_pcm16)
+    pcm_fn = _scalarized(pcm16_quantize)
     pcm, ledger["pcm16"] = _time(pcm_fn, (audio,), reps)
 
     # -- device-to-host of the serving payload (uint8 raw + int16 PCM).

@@ -8,7 +8,7 @@ except ImportError as e:  # pragma: no cover - optional dependency
         "streamlit is not installed in this environment; `pip install streamlit` to run"
     ) from e
 
-from audio_diffusion_tpu.apps import wav_bytes
+from audio_diffusion_tpu.apps import MODELS, wav_bytes
 from audio_diffusion_tpu.audio_diffusion import AudioDiffusion
 
 
@@ -21,14 +21,9 @@ if __name__ == "__main__":
     st.header("Audio Diffusion (TPU)")
     st.markdown("Generate audio using TPU-native diffusion over mel spectrograms.")
 
-    model_id = st.selectbox(
-        "Model",
-        [
-            "teticio/audio-diffusion-256",
-            "teticio/audio-diffusion-breaks-256",
-            "teticio/audio-diffusion-instrumental-hiphop-256",
-        ],
-    )
+    # All six published model ids (reference: streamlit_app.py:18-28 lists a
+    # subset; apps.MODELS carries the full README list).
+    model_id = st.selectbox("Model", MODELS)
     if st.button("Generate"):
         audio_diffusion = load_model(model_id)
         image, (sample_rate, audio) = audio_diffusion.generate_spectrogram_and_audio()

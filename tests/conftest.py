@@ -15,6 +15,30 @@ jax.config.update("jax_num_cpu_devices", 8)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------- quick marker
+# `pytest -m quick` = the <10-min regression pass on this 1-core box (the full
+# suite is ~40 min serially; VERDICT r4 weak #8). Modules listed here are the
+# long ones — subprocess spawns, notebook kernels, training soaks — everything
+# else is auto-marked quick at collection. Tune with `--durations=20`.
+SLOW_MODULES = {
+    "test_multiprocess",   # spawns 2 real OS processes (~6 min)
+    "test_examples",       # subprocess-executed example scripts
+    "test_notebooks",      # executes 8 notebook kernels
+    "test_training",       # multi-step train loops + checkpoint/resume
+    "test_vae_training",   # adversarial VAE training steps
+    "test_conditioning",   # trains a tiny conditional model to selectivity
+    "test_serving",        # live batcher threads + warmup compiles (~5 min)
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture(scope="session")
 def rng():

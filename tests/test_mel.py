@@ -216,6 +216,30 @@ def test_mel_forward_ref_override():
     np.testing.assert_array_equal(np.asarray(img), b[0])
 
 
+def test_mel_forward_callable_ref():
+    """The reference's ref is Union[float, Callable] with default np.max
+    (audiodiffusion/mel.py:135): a callable applies to the power spectrogram
+    per sample (librosa's ref_value = abs(ref(S))). np.max must reproduce the
+    ref=None default; np.mean must shift the scale; each batch row must use
+    ITS OWN callable value (not a batch-global one)."""
+    mel = Mel(x_res=16, y_res=16)
+    loud = synth_audio(mel.slice_size, seed=0)
+    quiet = 0.01 * synth_audio(mel.slice_size, seed=1)
+    batch = np.stack([loud, quiet])
+    default = np.asarray(mel.spectrogram_images_from_audio(batch))
+    via_max = np.asarray(mel.spectrogram_images_from_audio(batch, ref=np.max))
+    np.testing.assert_array_equal(via_max, default)  # np.max IS the default
+    via_mean = np.asarray(mel.spectrogram_images_from_audio(batch, ref=np.mean))
+    assert (via_mean != default).any()
+    # Per-row application: each row alone must equal its row in the batch.
+    for i in range(2):
+        solo = np.asarray(mel.spectrogram_images_from_audio(batch[i][None], ref=np.mean))[0]
+        np.testing.assert_array_equal(via_mean[i], solo)
+    mel.load_audio(raw_audio=loud)
+    img = mel.audio_slice_to_image(0, ref=np.mean)
+    np.testing.assert_array_equal(np.asarray(img), via_mean[0])
+
+
 def test_images_to_audio_shape_guard():
     mel = Mel(x_res=32, y_res=32)
     with pytest.raises(ValueError, match="expected .* mel images"):

@@ -426,3 +426,7 @@ def test_start_step_beyond_schedule_raises_actionable(ddim_pipe):
     with pytest.raises(ValueError, match="start_step .* must be < steps"):
         ddim_pipe(batch_size=1, raw_audio=audio, start_step=500, steps=3,
                   key=jax.random.key(0))
+    # Without input audio too (ADVICE r4): an out-of-range start_step used to
+    # silently slice an empty schedule and return un-denoised noise.
+    with pytest.raises(ValueError, match="start_step .* must be < steps"):
+        ddim_pipe(batch_size=1, start_step=500, steps=3, key=jax.random.key(0))
