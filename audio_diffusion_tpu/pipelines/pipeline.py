@@ -191,6 +191,72 @@ class AudioDiffusionPipeline:
         self._compiled[cache_key] = fn
         return fn
 
+    def _input_slices(self, audio_file, raw_audio, slice: int):
+        """Host-side audio-to-audio slice prep, shared by the fused and staged
+        paths: returns ``((B or 1, slice_size) f32, batched)``.
+
+        Batched per-sample inputs (2-D ``raw_audio``) are a TPU-first
+        extension: the reference broadcasts ONE clip across the whole batch
+        (pipeline:150-151), so multi-clip audio2audio costs one serial call
+        per clip there. Each row is one slice at the mel sample rate (shorter
+        rows zero-pad, like ``mel.load_audio``)."""
+        batched = raw_audio is not None and np.asarray(raw_audio).ndim == 2
+        if batched:
+            rows = np.asarray(raw_audio, dtype=np.float32)
+            full = self.mel.x_res * self.mel.hop_length
+            if rows.shape[1] < full:
+                rows = np.pad(rows, ((0, 0), (0, full - rows.shape[1])))
+            return rows[:, : full - 1], True  # slice_size = x_res*hop - 1
+        self.mel.load_audio(audio_file, raw_audio)
+        return np.asarray(self.mel.get_audio_slice(slice), dtype=np.float32)[None], False
+
+    def _prep_inputs(self, vae_params, slices, noise, vae_key,
+                     input_mode: str, t0: Optional[int]):
+        """Audio-to-audio device prep: mel forward -> [-1,1] -> [VAE encode]
+        -> broadcast -> [re-noise at t0]. Returns ``(images, input_images)``.
+
+        ONE definition traced by BOTH paths — the staged path runs it as its
+        own jitted program (`_prep_fn`), the fused program inlines it behind
+        an ``optimization_barrier``. Why: XLA fuses the uint8->[-1,1]
+        conversion and the re-noise FMAs differently inline vs staged
+        (one-ULP diffs the denoise scan amplifies chaotically — measured
+        max-3-uint8 spectrogram divergence on TPU v5e before this); an
+        identical sub-graph plus a program-boundary-equivalent barrier keeps
+        fused-vs-staged parity BITWISE. The conversion uses the
+        exact-integer form ``(u8*2 - 255)/255`` — integer-exact until one
+        correctly-rounded divide, immune to FMA/constant-folding variance
+        (mathematically == the reference's ``(image/255)*2 - 1``,
+        pipeline_audio_diffusion.py:139-147).
+
+        ``input_mode``: "batched" = per-sample rows, deterministic posterior
+        MODE (the serving contract — a row's result must not depend on batch
+        composition); "single" = one clip broadcast across the batch,
+        posterior SAMPLING under ``vae_key`` (the reference's semantics,
+        pipeline:143-151)."""
+        inp = self.mel._forward(slices).astype(jnp.float32)
+        inp = (inp * 2.0 - 255.0) / 255.0
+        inp = inp[..., None]  # (B or 1, H, W, 1)
+        if self.is_latent:
+            posterior = self.vqvae.apply({"params": vae_params}, inp,
+                                         method=self.vqvae.encode)
+            if input_mode == "batched":
+                inp = LATENT_SCALE * posterior.mode()
+            else:
+                inp = LATENT_SCALE * posterior.sample(vae_key)
+        input_images = jnp.broadcast_to(inp, noise.shape)
+        images = noise
+        if t0 is not None:
+            images = self.scheduler.add_noise(input_images, noise, t0)
+        return images, input_images
+
+    def _prep_fn(self, input_mode: str, t0: Optional[int]):
+        """Cached jitted program over `_prep_inputs` for the staged path."""
+        cache_key = ("prep", input_mode, t0)
+        if cache_key not in self._compiled:
+            self._compiled[cache_key] = jax.jit(
+                lambda vp, s, n, k: self._prep_inputs(vp, s, n, k, input_mode, t0))
+        return self._compiled[cache_key]
+
     def _validate_encoding(self, encoding, batch_rows: int):
         """Validate/normalize a conditioning encoding to (B, seq, dim); raises
         with actionable messages (shared by the fused and staged paths)."""
@@ -224,28 +290,43 @@ class AudioDiffusionPipeline:
 
     def _fused_generate_fn(self, steps: int, eta: float, batch_size: int,
                            has_encoding: bool, gen_noise: bool, derive_step_key: bool,
-                           pcm16: bool):
+                           pcm16: bool, start_step: int = 0, mask_start: int = 0,
+                           mask_end: int = 0, input_mode: str = "none"):
         """ONE compiled program for the whole serving hot path: [noise gen +]
-        denoise scan + VAE decode + uint8 postprocess + NNLS/Griffin-Lim +
-        [pcm16]. The staged path dispatches ~6 programs per generation; each
-        dispatch is an RPC through the remote-device tunnel, and under tunnel
-        congestion those gaps starve the chip (observed 25-40%% end-to-end
-        swings on identical commands). Fusing to one execution per batch makes
-        throughput insensitive to dispatch latency and lets XLA schedule the
-        stages without host round-trips. Math is identical to the staged path
-        (the inner jitted fns are traced inline), including the exact
-        key-split order of __call__: spectrograms measure bit-equal; audio is
-        within 1 int16 LSB (fusion changes f32 reduction order — see
-        tests/test_pipeline.py::test_fused_path_matches_staged_bitwise)."""
+        [mel forward + VAE encode + re-noise +] denoise scan + VAE decode +
+        uint8 postprocess + NNLS/Griffin-Lim + [pcm16]. The staged path
+        dispatches ~6 programs per generation; each dispatch is an RPC through
+        the remote-device tunnel, and under tunnel congestion those gaps
+        starve the chip (observed 25-40%% end-to-end swings on identical
+        commands). Fusing to one execution per batch makes throughput
+        insensitive to dispatch latency and lets XLA schedule the stages
+        without host round-trips. Math is identical to the staged path (the
+        inner jitted fns are traced inline), including the exact key-split
+        order of __call__: spectrograms measure bit-equal; audio is within 1
+        int16 LSB (fusion changes f32 reduction order — see
+        tests/test_pipeline.py::test_fused_path_matches_staged_bitwise).
+
+        ``input_mode`` covers the audio-to-audio hot loop the reference runs
+        staged (pipeline_audio_diffusion.py:135-185): "none" = pure
+        generation; "batched" = per-sample input slices, deterministic
+        posterior-MODE latent encode (the serving contract — a row's result
+        must not depend on batch composition); "single" = ONE clip broadcast
+        across the batch with posterior SAMPLING under vae_key (the
+        reference's semantics, pipeline:143-151)."""
         cache_key = ("fused", steps, eta, batch_size, has_encoding, gen_noise,
-                     derive_step_key, pcm16)
+                     derive_step_key, pcm16, start_step, mask_start, mask_end,
+                     input_mode)
         if cache_key in self._compiled:
             return self._compiled[cache_key]
 
-        denoise = self._denoise_fn(steps, 0, eta, 0, 0, False, has_encoding)
+        has_input = input_mode != "none"
+        denoise = self._denoise_fn(steps, start_step, eta, mask_start, mask_end,
+                                   has_input, has_encoding)
         h, w = self.sample_hw
         in_ch = self.unet.config.in_channels
         mel, vqvae, is_latent = self.mel, self.vqvae, self.is_latent
+        scheduler = self.scheduler
+        t0 = int(scheduler.schedule(steps).timesteps[start_step - 1]) if start_step > 0 else None
         length = (mel.x_res - 1) * mel.hop_length
         out_sharding = None
         if self.mesh is not None:
@@ -257,9 +338,9 @@ class AudioDiffusionPipeline:
         # four windowed-DFT matrices are ~33 MB f32 at n_fft=2048 and baking
         # them as HLO constants bloats every cached fused program and risks
         # the remote-compile upload limit (CLAUDE.md "HTTP 413"; ADVICE r4).
-        def run(unet_params, vae_params, noise, enc, key, step_key, gl_mats):
+        def run(unet_params, vae_params, noise, slices, enc, key, step_key, gl_mats):
             # Same split order as __call__ — bit-parity with the staged path.
-            key, noise_key, _vae_key, gl_key = jax.random.split(key, 4)
+            key, noise_key, vae_key, gl_key = jax.random.split(key, 4)
             if gen_noise:
                 noise = jax.random.normal(noise_key, (batch_size, h, w, in_ch),
                                           dtype=jnp.float32)
@@ -267,7 +348,19 @@ class AudioDiffusionPipeline:
                     noise = jax.lax.with_sharding_constraint(noise, out_sharding)
             if derive_step_key:
                 step_key = key
-            images = denoise(unet_params, noise, noise, noise, enc, step_key)
+            images = input_images = noise
+            if has_input:
+                # Shared prep sub-graph (see _prep_inputs), inlined — the
+                # staged path's host round-trips between these stages are
+                # pure dispatch overhead. The barriers reproduce the staged
+                # path's program boundaries so XLA cannot fuse noise-gen
+                # into the prep FMAs or prep into the scan (that fusion is
+                # what broke bitwise parity on TPU).
+                noise = jax.lax.optimization_barrier(noise)
+                images, input_images = jax.lax.optimization_barrier(
+                    self._prep_inputs(vae_params, slices, noise, vae_key,
+                                      input_mode, t0))
+            images = denoise(unet_params, images, input_images, noise, enc, step_key)
             if is_latent:
                 images = vqvae.apply({"params": vae_params}, images / LATENT_SCALE,
                                      method=vqvae.decode)
@@ -326,11 +419,11 @@ class AudioDiffusionPipeline:
         h, w = self.sample_hw
         in_ch = self.unet.config.in_channels
 
-        # Fused fast path — the pure-generation shape (no input audio, no
-        # partial start, full outputs wanted) runs as ONE device program per
+        # Fused fast path — pure generation AND audio-to-audio (start_step
+        # re-noise + mask overwrite; the reference's staged hot loop,
+        # pipeline_audio_diffusion.py:135-185) run as ONE device program per
         # batch: see _fused_generate_fn. Same math/keys as the staged path.
-        if (self.fuse and audio_file is None and raw_audio is None
-                and start_step == 0 and not return_images_only):
+        if self.fuse and not return_images_only:
             gen_noise = noise is None
             if gen_noise:
                 eff_batch = batch_size
@@ -346,12 +439,35 @@ class AudioDiffusionPipeline:
                         noise_arg, batch_sharding(self.mesh, noise_arg.ndim))
                 eff_batch = noise_arg.shape[0]
             enc = self._validate_encoding(encoding, eff_batch)
+            input_mode, slices_arg = "none", jnp.zeros((), jnp.float32)
+            mask_start = mask_end = 0
+            if audio_file is not None or raw_audio is not None:
+                slices_np, batched_input = self._input_slices(audio_file, raw_audio, slice)
+                if batched_input and slices_np.shape[0] != eff_batch:
+                    raise ValueError(
+                        f"raw_audio batch ({slices_np.shape[0]}) must equal the "
+                        f"generation batch ({eff_batch}); pass matching "
+                        "noise= or batch_size=.")
+                input_mode = "batched" if batched_input else "single"
+                slices_arg = jnp.asarray(slices_np)
+                if self.mesh is not None and batched_input:
+                    from ..parallel.mesh import batch_sharding
+
+                    slices_arg = jax.device_put(
+                        slices_arg, batch_sharding(self.mesh, 2))
+                # Mask pixels in model-sample space (reference: pipeline:152-156).
+                pixels_per_second = (w * self.mel.get_sample_rate()
+                                     / self.mel.x_res / self.mel.hop_length)
+                mask_start = int(mask_start_secs * pixels_per_second)
+                mask_end = int(mask_end_secs * pixels_per_second)
             fn = self._fused_generate_fn(steps, float(eta), eff_batch,
                                          enc is not None, gen_noise,
-                                         step_key is None, pcm16)
+                                         step_key is None, pcm16,
+                                         start_step, mask_start, mask_end,
+                                         input_mode)
             raw_dev, audios_dev = fn(
-                self.unet_params, self.vqvae_params, noise_arg, enc, key,
-                step_key if step_key is not None else key,
+                self.unet_params, self.vqvae_params, noise_arg, slices_arg,
+                enc, key, step_key if step_key is not None else key,
                 self.mel.gl_matrices())
             if return_arrays:
                 return raw_dev, audios_dev
@@ -398,58 +514,22 @@ class AudioDiffusionPipeline:
         mask_start = mask_end = 0
         batched_input = False
         if has_input:
-            batched_input = raw_audio is not None and np.asarray(raw_audio).ndim == 2
-            if batched_input:
-                # Batched per-sample inputs — a TPU-first extension: the
-                # reference broadcasts ONE clip across the whole batch
-                # (pipeline:150-151), so multi-clip audio2audio costs one
-                # serial call per clip there. Each row is one slice at the
-                # mel sample rate (shorter rows zero-pad, like
-                # mel.load_audio); rows must match the generation batch.
-                rows = np.asarray(raw_audio, dtype=np.float32)
-                if rows.shape[0] != noise.shape[0]:
-                    raise ValueError(
-                        f"raw_audio batch ({rows.shape[0]}) must equal the "
-                        f"generation batch ({noise.shape[0]}); pass matching "
-                        "noise= or batch_size=."
-                    )
-                full = self.mel.x_res * self.mel.hop_length
-                if rows.shape[1] < full:
-                    rows = np.pad(rows, ((0, 0), (0, full - rows.shape[1])))
-                slices = rows[:, : full - 1]  # slice_size = x_res*hop - 1
-                input_arr = np.asarray(self.mel.spectrogram_images_from_audio(slices))
-            else:
-                self.mel.load_audio(audio_file, raw_audio)
-                input_arr = np.asarray(self.mel.spectrogram_images_from_audio(self.mel.get_audio_slice(slice)[None]))
-            input_images = (jnp.asarray(input_arr, dtype=jnp.float32) / 255.0) * 2.0 - 1.0
-            input_images = input_images[..., None]  # (B or 1, H, W, 1)
-
-            if self.is_latent:
-                # ONE jitted program — eager flax apply dispatches every op
-                # separately (~100 ms each through the remote backend).
-                if batched_input:
-                    # Batched per-sample inputs are a serving contract: a row's
-                    # result must not depend on batch composition, so encode to
-                    # the posterior MODE (deterministic; the batch-shaped
-                    # .sample(key) would give row i different noise per tier —
-                    # same reasoning as encode()'s inversion path).
-                    input_images = self._vae_encode_mode(input_images)
-                else:
-                    # Reference semantics: sample the posterior (pipeline:143-147).
-                    if "vae_encode" not in self._compiled:
-                        self._compiled["vae_encode"] = jax.jit(
-                            lambda p, x, k: LATENT_SCALE * self.vqvae.apply(
-                                {"params": p}, x, method=self.vqvae.encode
-                            ).sample(k)
-                        )
-                    input_images = self._compiled["vae_encode"](self.vqvae_params, input_images, vae_key)
-
-            input_images = jnp.broadcast_to(input_images, noise.shape)
-
-            if start_step > 0:
-                schedule = self.scheduler.schedule(steps)
-                t0 = int(schedule.timesteps[start_step - 1])
-                images = self.scheduler.add_noise(input_images, noise, t0)
+            slices_np, batched_input = self._input_slices(audio_file, raw_audio, slice)
+            if batched_input and slices_np.shape[0] != noise.shape[0]:
+                raise ValueError(
+                    f"raw_audio batch ({slices_np.shape[0]}) must equal the "
+                    f"generation batch ({noise.shape[0]}); pass matching "
+                    "noise= or batch_size=."
+                )
+            # ONE jitted prep program (mel forward + conversion + [VAE
+            # encode] + broadcast + [re-noise]) — the same sub-graph the
+            # fused path inlines (see _prep_inputs for why sharing the
+            # trace is what keeps fused-vs-staged parity bitwise).
+            t0 = (int(self.scheduler.schedule(steps).timesteps[start_step - 1])
+                  if start_step > 0 else None)
+            input_mode = "batched" if batched_input else "single"
+            images, input_images = self._prep_fn(input_mode, t0)(
+                self.vqvae_params, jnp.asarray(slices_np), noise, vae_key)
 
             # pixels_per_second in model-sample space (reference: pipeline:152-156).
             pixels_per_second = w * self.mel.get_sample_rate() / self.mel.x_res / self.mel.hop_length

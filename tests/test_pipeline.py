@@ -397,6 +397,85 @@ def test_fused_path_matches_staged_latent_conditional():
     np.testing.assert_allclose(np.asarray(audio_f), np.asarray(audio_s), atol=1)
 
 
+def test_fused_audio_to_audio_matches_staged(ddim_pipe):
+    """The fused single-program path now covers the audio-to-audio hot loop
+    (start_step re-noise + mask overwrite — the reference's staged loop,
+    pipeline_audio_diffusion.py:135-185): mel forward, [VAE encode,] re-noise,
+    denoise, decode all trace into ONE program. Must match the staged
+    multi-dispatch path bitwise on spectrograms for every input mode."""
+    full = ddim_pipe.mel.x_res * ddim_pipe.mel.hop_length
+    rng = np.random.default_rng(7)
+
+    # single clip broadcast across the batch + start_step + masks
+    audio = (rng.standard_normal(full - 1) * 0.1).astype(np.float32)
+    kw = dict(batch_size=2, raw_audio=audio, start_step=2, steps=4,
+              key=jax.random.key(13), mask_start_secs=0.05, mask_end_secs=0.05)
+    raw_f, audio_f = ddim_pipe(return_arrays=True, pcm16=True, **kw)
+    ddim_pipe.fuse = False
+    try:
+        raw_s, audio_s = ddim_pipe(return_arrays=True, pcm16=True, **kw)
+    finally:
+        ddim_pipe.fuse = True
+    np.testing.assert_array_equal(np.asarray(raw_f), np.asarray(raw_s))
+    np.testing.assert_allclose(np.asarray(audio_f), np.asarray(audio_s), atol=1)
+
+    # batched per-sample clips (the serving tier shape)
+    rows = (rng.standard_normal((2, full)) * 0.1).astype(np.float32)
+    kw = dict(raw_audio=rows, noise=np.asarray(
+        jax.random.normal(jax.random.key(21), (2, RES, RES, 1))),
+        start_step=1, steps=3, key=jax.random.key(22),
+        step_key=jax.random.key(23))
+    raw_f, _ = ddim_pipe(return_arrays=True, **kw)
+    ddim_pipe.fuse = False
+    try:
+        raw_s, _ = ddim_pipe(return_arrays=True, **kw)
+    finally:
+        ddim_pipe.fuse = True
+    np.testing.assert_array_equal(np.asarray(raw_f), np.asarray(raw_s))
+
+
+def test_fused_audio_to_audio_latent_matches_staged():
+    """Same gate on the latent pipeline: the fused program's inline VAE
+    encode must reproduce the staged path for both posterior modes —
+    SAMPLE under vae_key (single clip, the reference's semantics,
+    pipeline:143-147) and deterministic MODE (batched per-sample rows, the
+    serving contract)."""
+    from audio_diffusion_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    vae_cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                        latent_channels=1, sample_size=16, norm_num_groups=4)
+    vae = AutoencoderKL(vae_cfg)
+    vae_params = vae.init_params(jax.random.key(0), sample_hw=(RES, RES))
+    unet_cfg = UNetConfig(sample_size=(8, 8), block_out_channels=(8, 16),
+                          down_block_types=("DownBlock2D", "DownBlock2D"),
+                          up_block_types=("UpBlock2D", "UpBlock2D"),
+                          layers_per_block=1, norm_num_groups=4)
+    unet = UNet2D(unet_cfg)
+    pipe = AudioDiffusionPipeline(unet, unet.init_params(jax.random.key(1)),
+                                  tiny_mel(), DDIMScheduler(),
+                                  vqvae=vae, vqvae_params=vae_params)
+    full = pipe.mel.x_res * pipe.mel.hop_length
+    rng = np.random.default_rng(3)
+
+    audio = (rng.standard_normal(full - 1) * 0.1).astype(np.float32)
+    kw = dict(batch_size=2, raw_audio=audio, start_step=2, steps=4,
+              key=jax.random.key(31))
+    raw_f, _ = pipe(return_arrays=True, **kw)
+    pipe.fuse = False
+    raw_s, _ = pipe(return_arrays=True, **kw)
+    pipe.fuse = True
+    np.testing.assert_array_equal(np.asarray(raw_f), np.asarray(raw_s))
+
+    rows = (rng.standard_normal((2, full)) * 0.1).astype(np.float32)
+    kw = dict(batch_size=2, raw_audio=rows, start_step=1, steps=3,
+              key=jax.random.key(32))
+    raw_f, _ = pipe(return_arrays=True, **kw)
+    pipe.fuse = False
+    raw_s, _ = pipe(return_arrays=True, **kw)
+    pipe.fuse = True
+    np.testing.assert_array_equal(np.asarray(raw_f), np.asarray(raw_s))
+
+
 def test_batched_per_sample_audio_input(ddim_pipe):
     """(B, samples) raw_audio conditions each row on ITS OWN clip — bitwise
     equal to B separate single-input calls (the reference broadcasts one clip
