@@ -42,6 +42,7 @@ from PIL import Image
 from ..mel import Mel
 from ..models.unet2d import UNet2D, UNetConfig
 from ..schedulers import DDIMScheduler, DDPMScheduler, load_scheduler, save_scheduler
+from ..schedulers.common import split_step_key
 
 LATENT_SCALE = 0.18215  # SD latent scaling (reference: pipeline:147,188; train_unet.py:234-235)
 
@@ -173,7 +174,10 @@ class AudioDiffusionPipeline:
         def run(params, images, input_images, noise, encoding, step_key):
             def body(carry, t):
                 x, key = carry
-                key, sub = jax.random.split(key)
+                # Scalar step_key chains like the reference's step_generator;
+                # a (B,) per-row key vector chains each row independently
+                # (serving determinism for stochastic sampling — common.py).
+                key, sub = split_step_key(key)
                 model_output = unet.apply({"params": params}, x, jnp.broadcast_to(t, (x.shape[0],)), encoding)
                 if is_ddim:
                     x = scheduler.step(model_output, t, x, schedule, eta=eta, key=sub)
@@ -287,6 +291,28 @@ class AudioDiffusionPipeline:
                 f"encoding batch axis ({enc.shape[0]}) must equal the "
                 f"generation batch ({batch_rows}).")
         return enc
+
+    def _validate_step_key(self, step_key, batch_rows: int):
+        """step_key is either ONE typed key (chained across steps like the
+        reference's step_generator — row i's stochastic noise then depends on
+        batch composition) or a (B,) vector of per-row keys (each row's noise
+        chain depends only on its own key: batch-composition-independent
+        stochastic sampling, the serving determinism contract — see
+        schedulers/common.py::variance_noise)."""
+        if step_key is None:
+            return
+        if not jnp.issubdtype(step_key.dtype, jax.dtypes.prng_key):
+            raise ValueError(
+                "step_key must be a typed PRNG key (jax.random.key); a raw "
+                "uint32 array is ambiguous between one key and a per-row batch.")
+        if step_key.ndim == 1 and step_key.shape[0] != batch_rows:
+            raise ValueError(
+                f"per-row step_key batch ({step_key.shape[0]}) must equal the "
+                f"generation batch ({batch_rows}).")
+        if step_key.ndim > 1:
+            raise ValueError(
+                f"step_key must be a scalar key or a (batch,) key vector, "
+                f"got shape {tuple(step_key.shape)}.")
 
     def _fused_generate_fn(self, steps: int, eta: float, batch_size: int,
                            has_encoding: bool, gen_noise: bool, derive_step_key: bool,
@@ -439,6 +465,7 @@ class AudioDiffusionPipeline:
                         noise_arg, batch_sharding(self.mesh, noise_arg.ndim))
                 eff_batch = noise_arg.shape[0]
             enc = self._validate_encoding(encoding, eff_batch)
+            self._validate_step_key(step_key, eff_batch)
             input_mode, slices_arg = "none", jnp.zeros((), jnp.float32)
             mask_start = mask_end = 0
             if audio_file is not None or raw_audio is not None:
@@ -479,6 +506,8 @@ class AudioDiffusionPipeline:
             return PipelineOutput(pil_images, self.mel.get_sample_rate(), audios, raw)
 
         key, noise_key, vae_key, gl_key = jax.random.split(key, 4)
+        self._validate_step_key(step_key, batch_size if noise is None else
+                                noise.shape[0])
         step_key = step_key if step_key is not None else key
         if noise is None:
             # One fused jitted program (noise gen is otherwise a separate

@@ -15,10 +15,43 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..utils.config import ConfigMixin
+
+
+def split_step_key(key: jax.Array):
+    """Advance the step-noise key chain one denoise step: returns
+    ``(carry, use)``. A scalar key splits once (the reference's
+    ``step_generator`` chain, pipeline_audio_diffusion.py:104-111); a
+    ``(B,)`` vector of per-row keys splits each row's key independently —
+    every row's chain depends only on its own key, which is what makes
+    stochastic sampling batch-composition-independent (the serving
+    determinism contract; see variance_noise)."""
+    if key.ndim == 0:
+        carry, use = jax.random.split(key)
+        return carry, use
+    ks = jax.vmap(jax.random.split)(key)
+    return ks[:, 0], ks[:, 1]
+
+
+def variance_noise(key: jax.Array, sample: jnp.ndarray) -> jnp.ndarray:
+    """Per-step sampling noise for stochastic steps (DDPM, DDIM eta>0).
+
+    A scalar key draws ONE (B, ...) tensor — row i's values then depend on
+    the batch layout, exactly like the reference's shared ``step_generator``
+    (pipeline_audio_diffusion.py:104-111, its documented batching caveat). A
+    ``(B,)`` key vector draws each row's noise from ITS OWN key via vmap, so
+    a request's stochastic samples are bitwise identical whether it runs solo
+    or co-batched at any tier (gated by
+    tests/test_serving.py::test_stochastic_solo_equals_batched_bitwise)."""
+    if key.ndim == 0:
+        return jax.random.normal(key, sample.shape, dtype=sample.dtype)
+    return jax.vmap(
+        lambda k: jax.random.normal(k, sample.shape[1:], dtype=sample.dtype)
+    )(key)
 
 
 def make_betas(num_train_timesteps: int, beta_start: float, beta_end: float, beta_schedule: str) -> np.ndarray:

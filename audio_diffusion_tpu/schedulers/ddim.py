@@ -13,7 +13,14 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from .common import Schedule, SchedulerConfig, leading_timesteps, make_betas, predict_x0_and_eps
+from .common import (
+    Schedule,
+    SchedulerConfig,
+    leading_timesteps,
+    make_betas,
+    predict_x0_and_eps,
+    variance_noise,
+)
 
 import numpy as np
 
@@ -93,7 +100,9 @@ class DDIMScheduler:
         if eta > 0:
             if key is None:
                 raise ValueError("eta > 0 requires a PRNG key for the variance noise")
-            prev_sample = prev_sample + std_dev * jax.random.normal(key, sample.shape, dtype=sample.dtype)
+            # Scalar key: one batch-shaped draw (reference semantics);
+            # (B,) keys: per-row draws (serving determinism) — see common.py.
+            prev_sample = prev_sample + std_dev * variance_noise(key, sample)
         return prev_sample
 
     def invert_step(

@@ -15,7 +15,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import Schedule, SchedulerConfig, leading_timesteps, make_betas, predict_x0_and_eps
+from .common import (
+    Schedule,
+    SchedulerConfig,
+    leading_timesteps,
+    make_betas,
+    predict_x0_and_eps,
+    variance_noise,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,6 +94,8 @@ class DDPMScheduler:
 
         # "fixed_small" posterior variance, floored like diffusers.
         variance = jnp.maximum(beta_prod_prev / beta_prod_t * current_beta_t, 1e-20)
-        noise = jax.random.normal(key, sample.shape, dtype=sample.dtype)
+        # Scalar key: one batch-shaped draw (reference semantics);
+        # (B,) keys: per-row draws (serving determinism) — see common.py.
+        noise = variance_noise(key, sample)
         prev_sample = prev_sample + jnp.where(t > 0, jnp.sqrt(variance), 0.0) * noise
         return prev_sample

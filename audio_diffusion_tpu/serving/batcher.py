@@ -12,13 +12,19 @@ TPU-first design:
   ITS seed on the host (``np.random.Generator(PCG64(seed))``), never from a
   batch-level key. Under DETERMINISTIC sampling (DDIM with eta=0 — the
   serving default and the reference's recommended inference mode) a request's
-  spectrogram is therefore bit-identical whether it runs solo or padded into
-  any tier (the denoise scan, VAE decode, and uint8 postprocess are all
-  elementwise along the batch axis). Stochastic sampling (DDPM, or eta>0)
-  draws per-STEP noise from a batch-shaped key inside the scan
-  (schedulers/ddpm.py step), so those results are reproducible only for a
-  fixed batch composition — same caveat as the reference, whose
-  ``step_generator`` is shared across the batch (pipeline:104-111).
+  spectrogram is therefore independent of who else is in the batch (the
+  denoise scan, VAE decode, and uint8 postprocess are all elementwise along
+  the batch axis). Stochastic sampling (DDPM, or eta>0) draws per-STEP noise
+  from a (tier,) vector of PER-ROW keys, each derived from its request's
+  seed (schedulers/common.py::variance_noise), so those results are ALSO
+  co-batch-independent — strictly stronger than the reference, whose
+  ``step_generator`` is shared across the batch (pipeline:104-111) and
+  therefore batch-composition-dependent. Scope of "bitwise": within a fixed
+  tier shape, a row's output is bit-identical for ANY co-batch content on
+  every backend (TPU-verified); ACROSS tier shapes it is bitwise on CPU
+  (tests gate this), while TPU XLA may tile convs differently per batch
+  shape and round differently — same-value-different-rounding, inherent to
+  shape-specialized compilation, not to this design.
   Griffin-Lim audio is phase-initialized from a batch-shaped key
   (ops/griffin_lim.py:86), so audio matches across batch compositions at
   GL-convergence level, not bitwise — same property as the reference, where
@@ -303,6 +309,7 @@ class DynamicBatcher:
         them on live traffic). Conditional models warm the cross-attention
         program at the served sequence length."""
         import jax
+        import jax.numpy as jnp
 
         h, w = self.pipe.sample_hw
         c = self.pipe.unet.config.in_channels
@@ -320,19 +327,20 @@ class DynamicBatcher:
                     for start_step in [0] + sorted(
                         s for s in self.allowed_start_steps if 0 < s < steps
                     ):
-                        # step_key is ALWAYS passed, exactly as _run_batch
-                        # does: the fused program's static signature includes
-                        # whether step_key was supplied, so a warmup without
-                        # it compiles a program live traffic never runs — the
-                        # first real batch then pays a minutes-long compile
-                        # inside the serving window (observed on the v5e:
-                        # p50 latency 107 s until the live variants finished
-                        # compiling). Gated by
+                        # step_key is ALWAYS passed, as (tier,) per-row keys,
+                        # exactly as _run_batch does: the fused program's
+                        # signature includes whether step_key was supplied AND
+                        # its shape, so a warmup without it (or with a scalar
+                        # key) compiles a program live traffic never runs —
+                        # the first real batch then pays a minutes-long
+                        # compile inside the serving window (observed on the
+                        # v5e: p50 latency 107 s until the live variants
+                        # finished compiling). Gated by
                         # tests/test_serving.py::test_warmup_covers_live_batch_programs.
                         self.pipe(
                             noise=noise, encoding=enc, steps=steps, eta=eta,
                             start_step=start_step,
-                            step_key=jax.random.key(0),
+                            step_key=jnp.stack([jax.random.key(0)] * tier),
                             raw_audio=np.zeros((tier, full), np.float32) if start_step else None,
                             return_arrays=True, pcm16=self.pcm16,
                         )
@@ -419,6 +427,7 @@ class DynamicBatcher:
                 raw_audio[i, : len(p.audio)] = p.audio
 
         import jax
+        import jax.numpy as jnp
 
         t_run = time.monotonic()
         raw_dev, audios_dev = self.pipe(
@@ -428,9 +437,15 @@ class DynamicBatcher:
             start_step=start_step,
             steps=steps,
             eta=eta,
-            # eta>0 step noise is keyed per BATCH (reproducible for a fixed
-            # batch composition, like the reference's step_generator).
-            step_key=jax.random.key(batch[0].seed),
+            # Per-ROW step keys derived from each request's seed: a request's
+            # stochastic samples (DDPM / eta>0) are bitwise identical whether
+            # it runs solo or co-batched at any tier — unlike the reference's
+            # shared step_generator, whose results depend on batch
+            # composition (pipeline_audio_diffusion.py:104-111). Padding rows
+            # key from seed 0; their outputs are dropped.
+            step_key=jnp.stack(
+                [jax.random.key(p.seed) for p in batch]
+                + [jax.random.key(0)] * (tier - len(batch))),
             return_arrays=True,
             pcm16=self.pcm16,
         )

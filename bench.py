@@ -10,7 +10,12 @@ The default config is the reference LDM KL-VAE (ch 128x[1,2,4,4] -> 1-ch
 (scripts/train_unet.py:115-137) running over latents: 50 DDIM steps + VAE
 decode + batched NNLS + Griffin-Lim (32 iterations) + int16 PCM + host
 transfer. Weights are random-init (as the pixel headline always was) unless
---pipeline points at a trained directory.
+--pipeline points at a trained directory — AND, when the pinned-seed trained
+artifact from scripts/rebuild_latent256.sh exists at
+models/latent-audio-diffusion-256, the default run ALSO benches it (same
+loop, same gates, bf16 serving override) and records the result under
+"trained" in the same JSON line, so the scoreboard carries a trained-weights
+number too.
 
 The FLOP-capped pixel-space path (6-block UNet directly at 256x256 — the
 reference's non-latent models) is available via --pixel; its roofline is
@@ -23,6 +28,7 @@ the reference publishes no quantitative numbers of its own — BASELINE.md).
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -42,7 +48,6 @@ def _backend_watchdog(timeout_s: float = None):
     JSON and no exit code. The watchdog thread exits the process with a
     diagnostic once the deadline passes; it is cancelled the moment device
     init succeeds."""
-    import os
     import threading
 
     if timeout_s is None:
@@ -71,6 +76,10 @@ from audio_diffusion_tpu.pipelines import AudioDiffusionPipeline
 from audio_diffusion_tpu.schedulers import DDIMScheduler
 
 TARGET_SAMPLES_PER_SEC = 50.0  # BASELINE.json:5
+# The pinned-seed trained artifact scripts/rebuild_latent256.sh produces;
+# when present, the default headline run benches it alongside random-init.
+TRAINED_256_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "models", "latent-audio-diffusion-256")
 
 
 def build_latent_pipeline(resolution: int, dtype: str) -> AudioDiffusionPipeline:
@@ -89,77 +98,11 @@ def build_latent_pipeline(resolution: int, dtype: str) -> AudioDiffusionPipeline
     return AudioDiffusionPipeline(unet, params, mel, DDIMScheduler(), vae, vae_params)
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser(description=__doc__)
-    # Serving batch default: 32 for the latent paths (measures ~4% above 16,
-    # BASELINE.md latent ledger), 16 for --pixel/--quick (the pixel knee;
-    # larger batches buy nothing on the FLOP-capped path).
-    p.add_argument("--batch", type=int, default=None)
-    p.add_argument("--steps", type=int, default=50)
-    p.add_argument("--iters", type=int, default=5)
-    p.add_argument("--reps", type=int, default=3,
-                   help="timed-window repetitions; the best window is reported "
-                        "(rides out shared-tunnel congestion swings)")
-    p.add_argument("--resolution", type=int, default=256)
-    p.add_argument("--quick", action="store_true", help="small model smoke run")
-    p.add_argument("--dtype", type=str, default=None, choices=["float32", "bfloat16"],
-                   help="compute dtype; default bfloat16 for random-init configs. With "
-                        "--pipeline, overrides the SAVED compute dtype for serving "
-                        "(params stay f32) — e.g. bfloat16 to serve an f32-trained VAE "
-                        "at bf16 throughput")
-    p.add_argument("--pixel", action="store_true",
-                   help="bench the pixel-space path (6-block UNet directly at "
-                        "--resolution) instead of the default latent recipe — "
-                        "FLOP-capped at ~6.2 samples/s/chip on one v5e "
-                        "(BASELINE.md roofline)")
-    p.add_argument("--latency", action="store_true",
-                   help="batch-1 single-sample latency (sequential calls, no pipelining) "
-                        "— the serving-latency analog of the reference's only published "
-                        "number ('about 20 minutes' per 256x256 sample, app.py:21-23)")
-    p.add_argument("--pipeline", type=str, default=None,
-                   help="bench a SAVED pipeline directory (e.g. the trained "
-                        "latent model from scripts/rebuild_latent256.sh) instead "
-                        "of random-init weights")
-    args = p.parse_args(argv)
-    # After argument parsing, so --help / bad flags never touch (or hang on)
-    # the TPU backend.
-    _backend_watchdog()
-    if args.batch is None:
-        args.batch = 16 if (args.pixel or args.quick) else 32
-    if args.latency:
-        args.batch = 1
-    if not args.pipeline and args.dtype is None:
-        args.dtype = "bfloat16"
-
-    trained = False
-    if args.pipeline:
-        pipe = AudioDiffusionPipeline.from_pretrained(args.pipeline, dtype=args.dtype)
-        out_hw = (pipe.mel.y_res, pipe.mel.x_res)
-        kind = "latent " if pipe.is_latent else ""
-        trained = True
-    elif args.quick:
-        from audio_diffusion_tpu.models import UNetConfig
-
-        cfg = UNetConfig(sample_size=(64, 64), block_out_channels=(32, 64),
-                         down_block_types=("DownBlock2D", "AttnDownBlock2D"),
-                         up_block_types=("AttnUpBlock2D", "UpBlock2D"),
-                         layers_per_block=1, norm_num_groups=8, dtype=args.dtype)
-        mel = Mel(x_res=64, y_res=64, hop_length=512)
-        unet = UNet2D(cfg)
-        pipe = AudioDiffusionPipeline(unet, unet.init_params(jax.random.key(0)), mel,
-                                      DDIMScheduler())
-        out_hw, kind = (64, 64), ""
-    elif args.pixel:
-        cfg = unconditional_config(sample_size=(args.resolution, args.resolution), dtype=args.dtype)
-        mel = Mel(x_res=args.resolution, y_res=args.resolution, hop_length=512)
-        unet = UNet2D(cfg)
-        pipe = AudioDiffusionPipeline(unet, unet.init_params(jax.random.key(0)), mel,
-                                      DDIMScheduler())
-        out_hw, kind = cfg.sample_hw(), ""
-    else:
-        pipe = build_latent_pipeline(args.resolution, args.dtype)
-        out_hw, kind = (args.resolution, args.resolution), "latent "
-
+def _measure(pipe, args, out_hw, kind: str, trained: bool) -> dict:
+    """Warmup with the exact timed signature, run the timed window(s), apply
+    the fidelity gates, and return {value, unit, reps, fidelity} (metric
+    labeling is the caller's job — this runs identically for random-init and
+    trained weights)."""
     # Warmup with the EXACT timed-call signature: compiles the denoise scan,
     # VAE decode, Griffin-Lim, postprocess, and pcm16 programs (remote
     # compiles cost seconds each on this backend — they must not land in the
@@ -284,22 +227,12 @@ def main(argv=None):
             times.append(time.time() - t0)
             check(raw, audio)  # same fidelity gate as the throughput loop
         fid = fidelity_gate()
-        lat = float(np.median(times))
-        out = {
-            "metric": f"{out_hw[0]}x{out_hw[1]} {kind}single-sample latency, "
-                      f"{args.steps} DDIM steps + Griffin-Lim end-to-end",
-            "value": round(lat, 3),
+        return {
+            "value": round(float(np.median(times)), 3),
             "unit": "seconds (median)",
             "reps": [round(t, 3) for t in times],
             "fidelity": fid,
         }
-        if out_hw == (256, 256):
-            # Reference's only published latency: ~20 min per 256x256 sample on
-            # CPU (app.py:21-23). Only comparable at the reference resolution.
-            out["metric"] += " (vs reference 256x256 CPU ~20min)"
-            out["vs_baseline"] = round(lat / (20 * 60), 5)
-        print(json.dumps(out))
-        return
 
     # Steady-state serving loop: dispatch all batches (device queue keeps the
     # chip busy), then materialize every output — D2H overlaps compute.
@@ -324,22 +257,134 @@ def main(argv=None):
         rep_rates.append(args.batch * args.iters / dt)
 
     fid = fidelity_gate()
-    samples_per_sec = max(rep_rates)
-    out = {
-        "metric": f"{out_hw[0]}x{out_hw[1]} {kind}mel samples/sec/chip, "
-                  f"{args.steps} DDIM steps + Griffin-Lim end-to-end",
-        "value": round(samples_per_sec, 3),
+    return {
+        "value": round(max(rep_rates), 3),
         "unit": "samples/sec/chip",
         # every window's rate, not just the best: a congested tunnel window
         # is then attributable in the recorded BENCH json itself
         "reps": [round(r, 3) for r in rep_rates],
         "fidelity": fid,
     }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    # Serving batch default: 32 for the latent paths (measures ~4% above 16,
+    # BASELINE.md latent ledger), 16 for --pixel/--quick (the pixel knee;
+    # larger batches buy nothing on the FLOP-capped path).
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--reps", type=int, default=3,
+                   help="timed-window repetitions; the best window is reported "
+                        "(rides out shared-tunnel congestion swings)")
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--quick", action="store_true", help="small model smoke run")
+    p.add_argument("--dtype", type=str, default=None, choices=["float32", "bfloat16"],
+                   help="compute dtype; default bfloat16 for random-init configs. With "
+                        "--pipeline, overrides the SAVED compute dtype for serving "
+                        "(params stay f32) — e.g. bfloat16 to serve an f32-trained VAE "
+                        "at bf16 throughput")
+    p.add_argument("--pixel", action="store_true",
+                   help="bench the pixel-space path (6-block UNet directly at "
+                        "--resolution) instead of the default latent recipe — "
+                        "FLOP-capped at ~6.2 samples/s/chip on one v5e "
+                        "(BASELINE.md roofline)")
+    p.add_argument("--latency", action="store_true",
+                   help="batch-1 single-sample latency (sequential calls, no pipelining) "
+                        "— the serving-latency analog of the reference's only published "
+                        "number ('about 20 minutes' per 256x256 sample, app.py:21-23)")
+    p.add_argument("--pipeline", type=str, default=None,
+                   help="bench a SAVED pipeline directory (e.g. the trained "
+                        "latent model from scripts/rebuild_latent256.sh) instead "
+                        "of random-init weights")
+    p.add_argument("--skip_trained", action="store_true",
+                   help="skip the trained-weights side run the default headline "
+                        "adds when models/latent-audio-diffusion-256 exists")
+    args = p.parse_args(argv)
+    # After argument parsing, so --help / bad flags never touch (or hang on)
+    # the TPU backend.
+    _backend_watchdog()
+    if args.batch is None:
+        args.batch = 16 if (args.pixel or args.quick) else 32
+    if args.latency:
+        args.batch = 1
+    if not args.pipeline and args.dtype is None:
+        args.dtype = "bfloat16"
+
+    trained = False
+    if args.pipeline:
+        pipe = AudioDiffusionPipeline.from_pretrained(args.pipeline, dtype=args.dtype)
+        out_hw = (pipe.mel.y_res, pipe.mel.x_res)
+        kind = "latent " if pipe.is_latent else ""
+        trained = True
+    elif args.quick:
+        from audio_diffusion_tpu.models import UNetConfig
+
+        cfg = UNetConfig(sample_size=(64, 64), block_out_channels=(32, 64),
+                         down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+                         up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+                         layers_per_block=1, norm_num_groups=8, dtype=args.dtype)
+        mel = Mel(x_res=64, y_res=64, hop_length=512)
+        unet = UNet2D(cfg)
+        pipe = AudioDiffusionPipeline(unet, unet.init_params(jax.random.key(0)), mel,
+                                      DDIMScheduler())
+        out_hw, kind = (64, 64), ""
+    elif args.pixel:
+        cfg = unconditional_config(sample_size=(args.resolution, args.resolution), dtype=args.dtype)
+        mel = Mel(x_res=args.resolution, y_res=args.resolution, hop_length=512)
+        unet = UNet2D(cfg)
+        pipe = AudioDiffusionPipeline(unet, unet.init_params(jax.random.key(0)), mel,
+                                      DDIMScheduler())
+        out_hw, kind = cfg.sample_hw(), ""
+    else:
+        pipe = build_latent_pipeline(args.resolution, args.dtype)
+        out_hw, kind = (args.resolution, args.resolution), "latent "
+
+    res = _measure(pipe, args, out_hw, kind, trained)
+    if args.latency:
+        out = {
+            "metric": f"{out_hw[0]}x{out_hw[1]} {kind}single-sample latency, "
+                      f"{args.steps} DDIM steps + Griffin-Lim end-to-end",
+            **res,
+        }
+        if out_hw == (256, 256):
+            # Reference's only published latency: ~20 min per 256x256 sample on
+            # CPU (app.py:21-23). Only comparable at the reference resolution.
+            out["metric"] += " (vs reference 256x256 CPU ~20min)"
+            out["vs_baseline"] = round(res["value"] / (20 * 60), 5)
+        print(json.dumps(out))
+        return
+
+    out = {
+        "metric": f"{out_hw[0]}x{out_hw[1]} {kind}mel samples/sec/chip, "
+                  f"{args.steps} DDIM steps + Griffin-Lim end-to-end",
+        **res,
+    }
     if out_hw == (256, 256):
         # The >=50 north-star is defined for 256x256 generation
         # (BASELINE.json:5); a ratio against it at any other resolution
         # would be apples-to-oranges (same rule as --latency above).
-        out["vs_baseline"] = round(samples_per_sec / TARGET_SAMPLES_PER_SEC, 3)
+        out["vs_baseline"] = round(res["value"] / TARGET_SAMPLES_PER_SEC, 3)
+
+    # Trained-weights side run (VERDICT r4 #5): when the pinned-seed rebuild
+    # artifact exists, the default headline ALSO benches it — same loop, same
+    # gates (plus the trained contrast gate), bf16 serving override over the
+    # saved f32 params — and records it in the SAME JSON line, so the driver
+    # scoreboard carries a trained-weights number, not only random-init.
+    if (not args.pipeline and not args.quick and not args.pixel
+            and not args.skip_trained and kind == "latent "
+            and out_hw == (256, 256)
+            and os.path.exists(os.path.join(TRAINED_256_DIR, "model_index.json"))):
+        tpipe = AudioDiffusionPipeline.from_pretrained(TRAINED_256_DIR, dtype=args.dtype)
+        tres = _measure(tpipe, args,
+                        (tpipe.mel.y_res, tpipe.mel.x_res), "latent ", True)
+        out["trained"] = {
+            "pipeline": os.path.relpath(TRAINED_256_DIR),
+            "dtype": args.dtype,
+            **tres,
+            "vs_baseline": round(tres["value"] / TARGET_SAMPLES_PER_SEC, 3),
+        }
     print(json.dumps(out))
 
 

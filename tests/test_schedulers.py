@@ -215,3 +215,55 @@ def test_v_prediction_consistency():
     a_prev = acp[t - s.step_delta]
     golden = np.sqrt(a_prev) * x0 + np.sqrt(1 - a_prev) * eps
     np.testing.assert_allclose(out, golden, atol=3e-5)
+
+
+# -------------------------------------------------- per-row stochastic keys
+
+def test_per_row_step_keys_are_batch_composition_independent():
+    """DDPM/eta>0 steps with a (B,) key vector draw each row's noise from its
+    own key: row i's output is bitwise identical no matter what else is in
+    the batch (the serving determinism contract — common.py::variance_noise).
+    The scalar-key path keeps the reference's batch-shaped draw semantics."""
+    from audio_diffusion_tpu.schedulers.common import split_step_key, variance_noise
+
+    ddpm = DDPMScheduler()
+    schedule = ddpm.schedule(10)
+    t = jnp.asarray(schedule.timesteps[0])
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 4, 4, 1)).astype(np.float32))
+    eps = jnp.asarray(rng.standard_normal((3, 4, 4, 1)).astype(np.float32))
+    keys = jnp.stack([jax.random.key(s) for s in (5, 9, 2)])
+
+    batched = ddpm.step(eps, t, x, schedule, key=keys)
+    for i in range(3):
+        solo = ddpm.step(eps[i:i + 1], t, x[i:i + 1], schedule,
+                         key=keys[i:i + 1])
+        np.testing.assert_array_equal(np.asarray(batched[i]), np.asarray(solo[0]))
+
+    # Scalar key: unchanged reference semantics — one (B, ...) draw, so a
+    # row beyond the first cannot be reproduced by a solo call with the same
+    # key (JAX's counter-based PRNG makes row 0 prefix-stable; row 1 is not).
+    full = ddpm.step(eps, t, x, schedule, key=jax.random.key(5))
+    solo1 = ddpm.step(eps[1:2], t, x[1:2], schedule, key=jax.random.key(5))
+    assert not np.array_equal(np.asarray(full[1]), np.asarray(solo1[0]))
+
+    # split_step_key advances each row's chain independently.
+    carry, use = split_step_key(keys)
+    c0, u0 = split_step_key(keys[0])
+    np.testing.assert_array_equal(
+        jax.random.key_data(carry[0]), jax.random.key_data(c0))
+    np.testing.assert_array_equal(
+        jax.random.key_data(use[0]), jax.random.key_data(u0))
+
+
+def test_ddim_eta_per_row_keys_match_solo():
+    ddim = DDIMScheduler()
+    schedule = ddim.schedule(10)
+    t = jnp.asarray(schedule.timesteps[0])
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32))
+    eps = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32))
+    keys = jnp.stack([jax.random.key(7), jax.random.key(11)])
+    batched = ddim.step(eps, t, x, schedule, eta=1.0, key=keys)
+    solo = ddim.step(eps[1:], t, x[1:], schedule, eta=1.0, key=keys[1:])
+    np.testing.assert_array_equal(np.asarray(batched[1]), np.asarray(solo[0]))

@@ -84,6 +84,44 @@ def test_solo_equals_batched_bitwise(pipe):
     assert np.isfinite(results[0].audio).all() and len(results[0].audio) == (RES - 1) * HOP  # librosa mel_to_audio length
 
 
+def test_stochastic_solo_equals_batched_bitwise(pipe):
+    """STOCHASTIC sampling (eta=1) is also batch-composition-independent:
+    step noise is drawn from per-row keys derived from each request's seed
+    (schedulers/common.py::variance_noise), so a request's spectrogram is
+    bit-identical solo vs co-batched — strictly stronger than the
+    reference's shared step_generator (pipeline_audio_diffusion.py:104-111),
+    whose eta>0 results depend on who else is in the batch."""
+    import jax.numpy as jnp
+
+    solo_raw, _ = pipe(noise=_noise_for_seed(7, RES, RES, 1)[None], steps=3,
+                       eta=1.0, step_key=jnp.stack([jax.random.key(7)]),
+                       return_arrays=True)
+    solo = np.asarray(solo_raw)[0]
+
+    batcher = DynamicBatcher(pipe, max_batch=4, max_wait_ms=200, steps=3,
+                             allowed_etas=(1.0,))
+    try:
+        futs = [batcher.submit(seed=s, eta=1.0) for s in (3, 7, 11)]  # tier 4
+        results = [f.result(timeout=120) for f in futs]
+    finally:
+        batcher.close()
+    np.testing.assert_array_equal(results[1].image, solo)
+    assert not np.array_equal(results[0].image, results[1].image), "seeds must differ"
+
+
+def test_per_row_step_key_validation(pipe):
+    """A (B,) step_key must match the generation batch; raw uint32 arrays
+    are rejected (ambiguous between one key and a per-row batch)."""
+    import jax.numpy as jnp
+
+    with pytest.raises(ValueError, match="must equal the generation batch"):
+        pipe(batch_size=2, steps=2, eta=1.0,
+             step_key=jnp.stack([jax.random.key(0)] * 3))
+    with pytest.raises(ValueError, match="typed PRNG key"):
+        pipe(batch_size=2, steps=2, eta=1.0,
+             step_key=np.zeros((2,), np.uint32))
+
+
 def test_concurrent_requests_share_one_batch(pipe):
     counting = CountingPipe(pipe)
     batcher = DynamicBatcher(counting, max_batch=4, max_wait_ms=1500, steps=2)
