@@ -7,7 +7,11 @@ TPU-first design:
   concurrency level (minutes each through a remote-compile link). Requests
   instead pad up to a fixed tier (1, 2, 4, ... ``max_batch``), so the device
   only ever sees ``len(tiers)`` shapes — all compiled once, ideally at
-  startup via :meth:`DynamicBatcher.warmup`.
+  startup via :meth:`DynamicBatcher.warmup`. The default "snap" assembly
+  policy dispatches the largest tier <= queue depth (remainder stays queued),
+  so at load every device row is a real request — the round-4 "pad" policy
+  averaged 33% padding rows under the closed-loop benchmark (fill 21.4/32,
+  BASELINE.md serving table), the gap between 47/s served and ~80/s raw.
 * **Per-request determinism.** Each request's initial noise is derived from
   ITS seed on the host (``np.random.Generator(PCG64(seed))``), never from a
   batch-level key. Under DETERMINISTIC sampling (DDIM with eta=0 — the
@@ -121,6 +125,7 @@ class DynamicBatcher:
         steps: Optional[int] = None,
         eta: float = 0.0,
         pcm16: bool = False,
+        batch_policy: str = "snap",
         allowed_steps: Optional[Sequence[int]] = None,
         allowed_etas: Optional[Sequence[float]] = None,
         allowed_start_steps: Optional[Sequence[int]] = None,
@@ -144,6 +149,21 @@ class DynamicBatcher:
                            if base * 2**i <= max_batch)
         if self.tiers[-1] != max_batch:
             self.tiers = self.tiers + (max_batch,)
+        # Batch-assembly policy once the wait window closes (see _run):
+        #   "snap" (default): dispatch the LARGEST TIER <= queue depth and
+        #     leave the remainder queued — every dispatched batch is exactly
+        #     a tier, so zero rows are padding whenever depth >= the smallest
+        #     tier. Under a closed-loop client pattern the leftover merges
+        #     with the resubmissions that arrive while the batch runs, so
+        #     fill stays ~100% (measured: the "pad" policy filled a mean 21.4
+        #     of tier 32 — ~33% of device rows were padding, BASELINE.md
+        #     serving table).
+        #   "pad": legacy round-4 behavior — take everything queued (up to
+        #     max_batch) and pad up to the next tier >= n. Lower per-request
+        #     latency at low occupancy; pays padding at high occupancy.
+        if batch_policy not in ("snap", "pad"):
+            raise ValueError(f"batch_policy must be 'snap' or 'pad', got {batch_policy!r}")
+        self.batch_policy = batch_policy
         self.max_wait_s = max_wait_ms / 1000.0
         # Resolve the default concretely so {"steps": 50} and steps omitted land
         # in the SAME batch group when 50 is the scheduler default.
@@ -382,7 +402,15 @@ class DynamicBatcher:
                     and (remaining := deadline - time.monotonic()) > 0
                 ):
                     self._cond.wait(timeout=remaining)
-                take = min(len(dq), self.tiers[-1])
+                if self.batch_policy == "snap" and len(dq) >= self.tiers[0]:
+                    # Largest tier <= depth; the remainder stays queued and
+                    # merges with closed-loop resubmissions (FIFO: the oldest
+                    # requests ship now, so nothing waits more than one extra
+                    # batch). Depth < the smallest tier still dispatches —
+                    # padded to tiers[0] — rather than stalling.
+                    take = max(t for t in self.tiers if t <= len(dq))
+                else:
+                    take = min(len(dq), self.tiers[-1])
                 batch = [dq.popleft() for _ in range(take)]
                 if not dq:
                     del self._groups[key]  # don't leak a deque per settings key
@@ -453,7 +481,7 @@ class DynamicBatcher:
         # worker can assemble + dispatch the NEXT batch while this one's
         # device-to-host transfer and fan-out happen on the finisher thread.
         # maxsize=2 bounds how many undelivered batch outputs sit on device.
-        self._finish_q.put((batch, raw_dev, audios_dev, t_run))
+        self._finish_q.put((batch, tier, raw_dev, audios_dev, t_run))
 
     # -------------------------------------------------------------- finisher
 
@@ -462,7 +490,7 @@ class DynamicBatcher:
             item = self._finish_q.get()
             if item is None:
                 return
-            batch, raw_dev, audios_dev, t_run = item
+            batch, tier, raw_dev, audios_dev, t_run = item
             try:
                 raw = np.asarray(raw_dev)
                 audios = np.asarray(audios_dev)
@@ -475,7 +503,8 @@ class DynamicBatcher:
             with self._stats_lock:
                 self.batches_run += 1
                 self.requests_served += len(batch)
-                self.stats.append({"n": len(batch), "run_s": round(now - t_run, 4)})
+                self.stats.append({"n": len(batch), "tier": tier,
+                                   "run_s": round(now - t_run, 4)})
                 self._latencies.extend(round(now - p.enqueued, 4) for p in batch)
             sr = self.pipe.mel.get_sample_rate()
             for i, p in enumerate(batch):
@@ -497,6 +526,11 @@ class DynamicBatcher:
             "requests_shed": self.requests_shed,
             "recent_batches": len(stats),
             "mean_batch": round(sum(s["n"] for s in stats) / len(stats), 2),
+            # Fill = real rows / dispatched device rows; (1 - fill) is the
+            # fraction of device compute spent on padding ("snap" policy
+            # holds this at ~1.0 once depth >= the smallest tier).
+            "fill": round(sum(s["n"] for s in stats)
+                          / max(1, sum(s["tier"] for s in stats)), 3),
             "p50_latency_s": lats[len(lats) // 2],
             "p95_latency_s": lats[min(len(lats) - 1, int(len(lats) * 0.95))],
             "mean_run_s": round(sum(s["run_s"] for s in stats) / len(stats), 4),

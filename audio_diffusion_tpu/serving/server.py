@@ -49,6 +49,7 @@ class AudioDiffusionServer:
         port: int = 8080,
         max_batch: int = 8,
         max_wait_ms: float = 25.0,
+        batch_policy: str = "snap",
         steps: Optional[int] = None,
         eta: float = 0.0,
         allowed_steps=None,
@@ -60,7 +61,8 @@ class AudioDiffusionServer:
         max_group_queue: Optional[int] = None,
     ):
         self.batcher = DynamicBatcher(
-            pipe, max_batch=max_batch, max_wait_ms=max_wait_ms, steps=steps,
+            pipe, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            batch_policy=batch_policy, steps=steps,
             eta=eta, pcm16=True, allowed_steps=allowed_steps,
             allowed_etas=allowed_etas, allowed_start_steps=allowed_start_steps,
             conditional_seq=conditional_seq,

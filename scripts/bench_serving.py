@@ -26,6 +26,7 @@ def parse_args(argv=None):
                         "result, then immediately submits the next request)")
     p.add_argument("--max_batch", type=int, default=32)
     p.add_argument("--max_wait_ms", type=float, default=25.0)
+    p.add_argument("--batch_policy", type=str, default="snap", choices=["snap", "pad"])
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--seconds", type=float, default=20.0, help="measurement window")
     p.add_argument("--dtype", type=str, default=None, choices=["float32", "bfloat16"])
@@ -51,7 +52,8 @@ def main(argv=None):
         devices = np.asarray(jax.devices())[: a.mesh_data]
         pipe.shard(make_mesh(num_data=a.mesh_data, devices=devices))
     batcher = DynamicBatcher(pipe, max_batch=a.max_batch,
-                             max_wait_ms=a.max_wait_ms, steps=a.steps, pcm16=True)
+                             max_wait_ms=a.max_wait_ms, steps=a.steps,
+                             batch_policy=a.batch_policy, pcm16=True)
     print(f"warming up tiers {batcher.tiers}...", flush=True)
     batcher.warmup()
 

@@ -25,6 +25,11 @@ def parse_args(argv=None):
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--max_batch", type=int, default=8,
                    help="largest batch tier (BASELINE.md: throughput knee at 32)")
+    p.add_argument("--batch_policy", type=str, default="snap",
+                   choices=["snap", "pad"],
+                   help="batch assembly once the wait window closes: snap = "
+                        "largest tier <= queue depth (zero padding at load); "
+                        "pad = take all queued, pad to the next tier")
     p.add_argument("--max_wait_ms", type=float, default=25.0,
                    help="how long a lone request waits for batch companions")
     p.add_argument("--steps", type=int, default=None,
@@ -66,6 +71,7 @@ def main(argv=None):
     server = make_server(
         a.model, dtype=a.dtype, mesh_data=a.mesh_data, host=a.host, port=a.port,
         max_batch=a.max_batch, max_wait_ms=a.max_wait_ms, steps=a.steps, eta=a.eta,
+        batch_policy=a.batch_policy,
         allowed_steps=a.allow_steps, allowed_etas=a.allow_etas,
         allowed_start_steps=a.allow_start_steps,
         max_queue=a.max_queue, max_group_queue=a.max_group_queue,

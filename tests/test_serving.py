@@ -138,6 +138,44 @@ def test_concurrent_requests_share_one_batch(pipe):
     assert counting.call_batches[1:] == [4], counting.call_batches
 
 
+def test_snap_policy_dispatches_exact_tiers(pipe):
+    """With the default "snap" assembly policy, every dispatched batch is
+    exactly a tier <= queue depth: 7 queued requests against tiers (1,2,4,8)
+    ship as 4+2+1 with ZERO padding rows, instead of one tier-8 batch with a
+    wasted row (the round-4 "pad" behavior, 33% padding under the closed-loop
+    serving benchmark — BASELINE.md serving table)."""
+    counting = CountingPipe(pipe)
+    batcher = DynamicBatcher(counting, max_batch=8, max_wait_ms=1500, steps=2)
+    try:
+        batcher.submit(seed=0).result(timeout=120)  # compile tier 1 first
+        futs = [batcher.submit(seed=s) for s in range(7)]
+        results = [f.result(timeout=120) for f in futs]
+    finally:
+        batcher.close()
+    assert counting.call_batches[0] == 1
+    assert counting.call_batches[1:] == [4, 2, 1], counting.call_batches
+    assert all(r.image.shape[:2] == (RES, RES) for r in results)
+    assert batcher.latency_summary()["fill"] == 1.0
+
+
+def test_pad_policy_pads_to_next_tier(pipe):
+    """batch_policy="pad" (legacy): everything queued ships in one batch,
+    padded up to the next tier."""
+    counting = CountingPipe(pipe)
+    batcher = DynamicBatcher(counting, max_batch=8, max_wait_ms=1500, steps=2,
+                             batch_policy="pad")
+    try:
+        futs = [batcher.submit(seed=s) for s in range(3)]
+        for f in futs:
+            f.result(timeout=120)
+    finally:
+        batcher.close()
+    assert counting.call_batches == [4], counting.call_batches  # 3 padded to 4
+    assert batcher.latency_summary()["fill"] == 0.75
+    with pytest.raises(ValueError, match="batch_policy"):
+        DynamicBatcher(pipe, max_batch=2, batch_policy="nope")
+
+
 def test_incompatible_settings_do_not_mix(pipe):
     counting = CountingPipe(pipe)
     batcher = DynamicBatcher(counting, max_batch=4, max_wait_ms=150, steps=2,
