@@ -33,23 +33,30 @@ OUT=${1:-models/conditional-latent-audio-diffusion-512}
 WORK=${WORK:-/root/scratch/rebuild512}
 mkdir -p "$WORK"
 
+# Stages are resumable: each one is deterministic from its pinned seed, so a
+# finished output directory is simply reused on rerun.
 echo "== [1/6] synthetic corpus (seed 42, 512-res slices) =="
-python scripts/make_audio.py --output_dir "$WORK/audio" --files 24 --slices 2 \
-    --resolution 512 --seed 42
+[ -d "$WORK/audio" ] || python scripts/make_audio.py --output_dir "$WORK/audio" \
+    --files 24 --slices 2 --resolution 512 --seed 42
 
 echo "== [2/6] 512x512 mel dataset =="
-python scripts/audio_to_images.py --resolution 512 --hop_length 512 \
-    --input_dir "$WORK/audio" --output_dir "$WORK/ds"
+[ -d "$WORK/ds" ] || python scripts/audio_to_images.py --resolution 512 \
+    --hop_length 512 --input_dir "$WORK/audio" --output_dir "$WORK/ds"
 
 echo "== [3/6] 100-d audio encodings (AudioEncoder, deterministic init) =="
-python scripts/encode_audio.py --dataset "$WORK/ds" \
+[ -f "$WORK/encodings.p" ] || python scripts/encode_audio.py --dataset "$WORK/ds" \
     --output_file "$WORK/encodings.p"
 
 echo "== [4/6] KL-VAE 512 -> 64x64 latents (1400 steps, disc from 600, seed 0) =="
-python scripts/train_vae.py -d "$WORK/ds" -b 2 --max_steps 1400 --disc_start 600 \
+# Batch 1 + accumulation 2 (same effective batch as the 256 recipe's flat 2):
+# at 512x512 the f32 VAE+disc train step holds ~dozens of 512*512*128 f32
+# activation temps per image — flat batch 2 exceeds the v5e's 16 GB HBM.
+[ -f "$WORK/vae/params.msgpack" ] || \
+python scripts/train_vae.py -d "$WORK/ds" -b 1 -g 2 --max_steps 1400 --disc_start 600 \
     --hf_checkpoint_dir "$WORK/vae" --seed 0
 
 echo "== [5/6] conditional latent UNet (1000 steps, bf16, batch 16, seed 0) =="
+[ -f "$OUT/model_index.json" ] || \
 python scripts/train_unet.py --dataset "$WORK/ds" --vae "$WORK/vae" \
     --encodings "$WORK/encodings.p" \
     --output_dir "$OUT" --train_batch_size 16 --scheduler ddim \
