@@ -28,6 +28,11 @@ def parse_args(argv=None):
     p.add_argument("--max_wait_ms", type=float, default=25.0)
     p.add_argument("--batch_policy", type=str, default="snap", choices=["snap", "pad"])
     p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--start_step", type=int, default=0,
+                   help="audio-to-audio mode: every client submits a synthetic "
+                        "input clip re-noised to this step (style transfer, "
+                        "reference pipeline:149-185) — rides the same fused "
+                        "single-program path as pure generation")
     p.add_argument("--seconds", type=float, default=20.0, help="measurement window")
     p.add_argument("--dtype", type=str, default=None, choices=["float32", "bfloat16"])
     p.add_argument("--mesh_data", type=int, default=None,
@@ -53,7 +58,8 @@ def main(argv=None):
         pipe.shard(make_mesh(num_data=a.mesh_data, devices=devices))
     batcher = DynamicBatcher(pipe, max_batch=a.max_batch,
                              max_wait_ms=a.max_wait_ms, steps=a.steps,
-                             batch_policy=a.batch_policy, pcm16=True)
+                             batch_policy=a.batch_policy, pcm16=True,
+                             allowed_start_steps=(a.start_step,) if a.start_step else None)
     print(f"warming up tiers {batcher.tiers}...", flush=True)
     batcher.warmup()
 
@@ -62,10 +68,21 @@ def main(argv=None):
     served = [0] * a.clients
     t_deadline = None
 
+    # Audio-to-audio clients style-transfer a per-client synthetic clip; pure
+    # generation clients submit seeds only. Both ride the fused program.
+    import numpy as np
+
+    clip = None
+    if a.start_step:
+        slice_len = pipe.mel.x_res * pipe.mel.hop_length
+        t = np.arange(slice_len, dtype=np.float32) / pipe.mel.get_sample_rate()
+        clip = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+
     def client(i):
         seed = i
         while not stop.is_set():
-            batcher.submit(seed=seed).result()
+            batcher.submit(seed=seed, audio=clip,
+                           start_step=a.start_step).result()
             seed += a.clients
             if t_deadline is not None and time.monotonic() >= t_deadline:
                 stop.set()
@@ -83,17 +100,18 @@ def main(argv=None):
     serving_rate = sum(served) / elapsed
 
     # --- ceiling: the same pipeline driven directly at max_batch --------------
-    import numpy as np
-
     h, w = pipe.sample_hw
     c = pipe.unet.config.in_channels
     noise = np.random.default_rng(0).standard_normal(
         (a.max_batch, h, w, c)).astype(np.float32)
-    pipe(noise=noise, steps=a.steps, return_arrays=True, pcm16=True)  # warm
+    raw_audio = np.tile(clip, (a.max_batch, 1)) if clip is not None else None
+    direct_kw = dict(steps=a.steps, start_step=a.start_step,
+                     raw_audio=raw_audio, return_arrays=True, pcm16=True)
+    pipe(noise=noise, **direct_kw)  # warm
     t0 = time.monotonic()
     n = 0
     while time.monotonic() - t0 < max(5.0, a.seconds / 3):
-        raw, aud = pipe(noise=noise, steps=a.steps, return_arrays=True, pcm16=True)
+        raw, aud = pipe(noise=noise, **direct_kw)
         np.asarray(aud)  # materialize like the batcher does
         n += a.max_batch
     direct_rate = n / (time.monotonic() - t0)
@@ -104,6 +122,7 @@ def main(argv=None):
         "batching_efficiency": round(serving_rate / direct_rate, 3),
         "clients": a.clients,
         "max_batch": a.max_batch,
+        "start_step": a.start_step,
         "latency": batcher.latency_summary(),
     }))
     batcher.close()
