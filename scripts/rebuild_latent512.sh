@@ -55,11 +55,15 @@ echo "== [4/6] KL-VAE 512 -> 64x64 latents (1400 steps, disc from 600, seed 0) =
 python scripts/train_vae.py -d "$WORK/ds" -b 1 -g 2 --max_steps 1400 --disc_start 600 \
     --hf_checkpoint_dir "$WORK/vae" --seed 0
 
-echo "== [5/6] conditional latent UNet (1000 steps, bf16, batch 16, seed 0) =="
+echo "== [5/6] conditional latent UNet (1000 steps, bf16, batch 8 x accum 2, seed 0) =="
+# Flat batch 16 over 64x64x1 latents OOMs the v5e by 114 MB (15.86G of 15.75G
+# HBM — the cross-attention temps at seq 4096 x 128ch); batch 8 + accumulation
+# 2 keeps the reference's effective batch with headroom.
 [ -f "$OUT/model_index.json" ] || \
 python scripts/train_unet.py --dataset "$WORK/ds" --vae "$WORK/vae" \
     --encodings "$WORK/encodings.p" \
-    --output_dir "$OUT" --train_batch_size 16 --scheduler ddim \
+    --output_dir "$OUT" --train_batch_size 8 --gradient_accumulation_steps 2 \
+    --scheduler ddim \
     --mixed_precision bf16 --max_steps 1000 --num_epochs 1000 \
     --lr_warmup_steps 100 --save_images_epochs 100000 --save_model_epochs 100000 \
     --seed 0
