@@ -69,7 +69,10 @@ python scripts/train_unet.py --dataset "$WORK/ds" --vae "$WORK/vae" \
     --seed 0
 
 echo "== [6/6] bench + fidelity =="
-python bench.py --pipeline "$OUT"                    # saved precision (f32 VAE)
+# Saved precision (f32 VAE) at batch 16: the f32 512 decode holds an
+# 8 GB f32[32,512,512,256] activation at batch 32 — over HBM on its own.
+# The serving configuration for this tier is the bf16 override at batch 32.
+python bench.py --pipeline "$OUT" --batch 16         # saved precision (f32 VAE)
 python bench.py --pipeline "$OUT" --dtype bfloat16   # bf16 serving override
 python - "$OUT" "$WORK/ds" "$WORK/encodings.p" <<'EOF'
 # Fidelity record: VAE reconstruction MAE + generated-sample nearest-neighbor
